@@ -1,0 +1,30 @@
+"""Audit / metadata column names shared by staging batches and target tables.
+
+Mirrors the reference's column-name contract
+(reference: src/main/java/io/cdap/delta/bigquery/Constants.java:23-30).
+"""
+
+SEQUENCE_NUM = "_sequence_num"
+SOURCE_TIMESTAMP = "_source_timestamp"
+IS_DELETED = "_is_deleted"
+ROW_ID = "_row_id"
+OPERATION = "_op"
+BATCH_ID = "_batch_id"
+SORT_KEYS = "_sort"
+SORT_KEY_FIELD = "_key"
+BEFORE_PREFIX = "_before_"
+
+# DML operation values carried in the _op column
+OP_INSERT = "INSERT"
+OP_UPDATE = "UPDATE"
+OP_DELETE = "DELETE"
+
+# Event-stream ordering contract of the source
+ORDERED = "ORDERED"
+UN_ORDERED = "UN_ORDERED"
+
+# Reference operational constants (BigQueryEventConsumer.java:251-254,
+# BigQueryTarget.java:80,373-375) kept for parity in config defaults.
+MAX_CLUSTERING_COLUMNS = 4
+MAX_TABLES_PER_MAX_SEQ_QUERY = 1000
+DEFAULT_LOAD_INTERVAL_SECONDS = 90

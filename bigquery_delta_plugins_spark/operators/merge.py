@@ -1,0 +1,191 @@
+"""Keyed MERGE apply: staged-diff events onto the target table state.
+
+Reproduces the reference's generated ``MERGE`` statement
+(``createMergeQuery``, BigQueryEventConsumer.java:1225-1391; four-case
+spec comment :933-1116) as a Spark join-and-case plan that returns the
+*new* target-table state.  Arms, exactly as the reference emits them:
+
+ON (non-row-id) ``T.pk = D._before_pk``; (row-id) ``T._row_id = D._row_id``
+
+- MATCHED, op DELETE  [+guard]:
+    ordered, hard:  row removed
+    ordered, soft:  ``UPDATE SET _is_deleted = true`` (other columns,
+                    including ``_sequence_num``, keep their old values —
+                    the reference's deleteOperation sets only the flag)
+    unordered:      ``UPDATE SET`` every target column to D's value and
+                    ``_is_deleted = true`` (tombstone carries D's seq/sort)
+- MATCHED, op INSERT/UPDATE [+guard]:
+    ``UPDATE SET`` target columns to D's values and ``_is_deleted = NULL``
+    (explicit reset so a re-insert revives a soft-deleted row,
+    BigQueryEventConsumer.java:1361-1364).  For PK-moving updates the
+    new key comes from D's current columns while the match used
+    ``_before_pk`` — this is how id 0 -> 2 moves.
+- NOT MATCHED, op INSERT/UPDATE: insert D's values; ``_is_deleted`` is
+    NOT in the insert column list, so it lands NULL (the reference's
+    field predicate filters it, :1296-1303 — the Case-2 doc comment
+    showing ``false`` is contradicted by the code; we follow the code).
+- NOT MATCHED, op DELETE (unordered only): insert tombstone with
+    ``_is_deleted = true`` (:1369-1383).
+
+Guards (``updateAndDeleteCondition``):
+    ordered + soft deletes: ``T._is_deleted IS NOT TRUE`` — a tombstoned
+    row is never touched by matched arms (:1316-1329).
+    unordered: the ordering condition "T happened before D" (:1330-1345);
+    a late event against newer table state is a no-op.
+Rows where no arm applies stay unchanged.
+
+Column bookkeeping per mode: ordered sources never carry
+``_source_timestamp``/``_sort`` into UPDATE/INSERT lists; non-row-id
+sources never set ``_row_id`` (:1268-1290 predicate).
+
+Physical strategy for 100 TB:
+
+- D rows whose join key is entirely NULL (all INSERTs from non-row-id
+  sources) can never match — SQL NULL equality.  They are split out
+  BEFORE the join and unioned in as pure inserts, which (a) removes the
+  null-key hot partition the full-outer join would otherwise hash them
+  into and (b) shrinks the join input to only genuinely matchable rows.
+- The remaining join is a full-outer on the key; with AQE skew-join on,
+  a hot url that survived flattening (1 row per key by construction)
+  cannot skew.  The lake layer (lake/table.py) restricts the T side to
+  the hash-buckets the diff actually touches, so merge cost scales with
+  the *change* volume, not table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import constants as C
+from .ordering import happens_before
+
+_T_MARK = "__t_present"
+_D_MARK = "__d_present"
+_ACTION = "__action"
+
+# Row dispositions after arm evaluation.
+_KEEP_T = "KEEP_T"  # target row unchanged
+_TAKE_D = "TAKE_D"  # row built from D (update or insert arm)
+_TOMB_T = "TOMB_T"  # target row kept, _is_deleted := true (ordered soft delete)
+_TOMB_D = "TOMB_D"  # row built from D, _is_deleted := true (unordered delete)
+_DROP = "DROP"      # hard delete
+
+
+def merge_apply(
+    target: DataFrame,
+    diff: DataFrame,
+    primary_keys: list[str],
+    *,
+    row_id_supported: bool = False,
+    ordering: str = C.ORDERED,
+    soft_deletes: bool = False,
+    sort_key_count: int = 0,
+) -> DataFrame:
+    """Return the post-merge target state (same schema as ``target``)."""
+    out_cols = target.columns
+    source_cols = [
+        c
+        for c in out_cols
+        if c not in (C.SEQUENCE_NUM, C.IS_DELETED, C.ROW_ID, C.SOURCE_TIMESTAMP, C.SORT_KEYS)
+    ]
+    out_types = {f.name: f.dataType for f in target.schema.fields}
+    unordered = ordering == C.UN_ORDERED
+
+    if row_id_supported:
+        d_key_cols = [C.ROW_ID]
+    else:
+        d_key_cols = [C.BEFORE_PREFIX + k for k in primary_keys]
+
+    # Split off events that cannot match any target row (NULL join key):
+    # they bypass the join entirely — no null-key hot partition.
+    keyless_pred: Column | None = None
+    for kc in d_key_cols:
+        p = F.col(kc).isNull()
+        keyless_pred = p if keyless_pred is None else keyless_pred | p
+    d_joinable = diff.filter(~keyless_pred)
+    d_keyless = diff.filter(keyless_pred)
+
+    t = target.withColumn(_T_MARK, F.lit(True)).alias("T")
+    d = d_joinable.withColumn(_D_MARK, F.lit(True)).alias("D")
+    tc = lambda name: F.col(f"T.{name}")  # noqa: E731
+    dc = lambda name: F.col(f"D.{name}")  # noqa: E731
+
+    if row_id_supported:
+        join_cond: Column = tc(C.ROW_ID) == dc(C.ROW_ID)
+    else:
+        join_cond = None
+        for k in primary_keys:
+            c = tc(k) == dc(C.BEFORE_PREFIX + k)
+            join_cond = c if join_cond is None else join_cond & c
+
+    joined = t.join(d, join_cond, "full_outer")
+
+    matched = tc(_T_MARK).isNotNull() & dc(_D_MARK).isNotNull()
+    op = dc(C.OPERATION)
+    ins_upd = op.isin(C.OP_INSERT, C.OP_UPDATE)
+    is_del = op == C.OP_DELETE
+
+    if unordered:
+        guard = happens_before(tc, dc, sort_key_count)
+        del_action = _TOMB_D
+    elif soft_deletes:
+        guard = F.coalesce(tc(C.IS_DELETED), F.lit(False)) == F.lit(False)
+        del_action = _TOMB_T
+    else:
+        guard = F.lit(True)
+        del_action = _DROP
+
+    action = (
+        F.when(matched & is_del & guard, F.lit(del_action))
+        .when(matched & ins_upd & guard, F.lit(_TAKE_D))
+        .when(tc(_T_MARK).isNotNull(), F.lit(_KEEP_T))  # T-only or guard failed
+        .when(ins_upd, F.lit(_TAKE_D))  # D-only insert/update
+        .otherwise(F.lit(_TOMB_D if unordered else _DROP))  # D-only delete
+    )
+    joined = joined.withColumn(_ACTION, action).filter(F.col(_ACTION) != _DROP)
+    act = F.col(_ACTION)
+    from_d = act.isin(_TAKE_D, _TOMB_D)
+
+    def out(name: str) -> Column:
+        if name == C.IS_DELETED:
+            return (
+                F.when(act == _TAKE_D, F.lit(None).cast("boolean"))
+                .when(act.isin(_TOMB_T, _TOMB_D), F.lit(True))
+                .otherwise(tc(C.IS_DELETED))
+            )
+        if name == C.SEQUENCE_NUM:
+            return F.when(from_d, dc(C.SEQUENCE_NUM)).otherwise(tc(C.SEQUENCE_NUM))
+        if name == C.ROW_ID:
+            if row_id_supported:
+                return F.when(from_d, dc(C.ROW_ID)).otherwise(tc(C.ROW_ID))
+            return tc(C.ROW_ID)
+        if name in (C.SOURCE_TIMESTAMP, C.SORT_KEYS):
+            if unordered:
+                return F.when(from_d, dc(name)).otherwise(tc(name))
+            return tc(name)
+        # plain source column
+        return F.when(from_d, dc(name)).otherwise(tc(name))
+
+    merged = joined.select(*[out(c).alias(c) for c in out_cols])
+
+    # NOT-MATCHED arms for events with NULL join keys (pure inserts, and
+    # unordered keyless deletes -> tombstone insert).
+    if unordered:
+        inserts = d_keyless.filter(F.col(C.OPERATION).isin(C.OP_INSERT, C.OP_UPDATE, C.OP_DELETE))
+        tomb = F.col(C.OPERATION) == C.OP_DELETE
+    else:
+        inserts = d_keyless.filter(F.col(C.OPERATION).isin(C.OP_INSERT, C.OP_UPDATE))
+        tomb = F.lit(False)
+
+    def ins_col(name: str) -> Column:
+        if name == C.IS_DELETED:
+            return F.when(tomb, F.lit(True)).otherwise(F.lit(None).cast("boolean"))
+        if name == C.ROW_ID and not row_id_supported:
+            return F.lit(None).cast("string")
+        if name in (C.SOURCE_TIMESTAMP, C.SORT_KEYS) and not unordered:
+            return F.lit(None).cast(out_types[name])
+        return F.col(name)
+
+    insert_rows = inserts.select(*[ins_col(c).alias(c) for c in out_cols])
+    return merged.unionByName(insert_rows)
