@@ -1,0 +1,50 @@
+"""HTML -> text extraction as a vectorized Arrow/pandas UDF.
+
+The north rule requires byte-identical extracted text per url between
+the vectorized path and a scalar reference implementation
+(BASELINE.json input_hint).  Both paths below share the exact same
+regex pipeline, applied in the same order with the same replacement
+strings, so equality holds byte-for-byte:
+
+1. drop <script>/<style> elements including their content
+2. strip remaining tags
+3. collapse whitespace runs to single spaces, trim
+
+``extract_text_udf`` moves data via Arrow batches and uses pandas
+vectorized string ops — no per-row Python on the Spark side.
+``extract_text_py`` is the scalar oracle used by tests to assert
+sha256-per-row equality.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_SCRIPT_RE = r"(?is)<(script|style)[^>]*>.*?</\1>"
+_TAG_RE = r"(?s)<[^>]+>"
+_WS_RE = r"\s+"
+
+
+def extract_text_py(html: bytes | None) -> str | None:
+    """Scalar reference implementation (the per-row oracle)."""
+    if html is None:
+        return None
+    s = html.decode("utf-8")
+    s = re.sub(_SCRIPT_RE, " ", s)
+    s = re.sub(_TAG_RE, " ", s)
+    s = re.sub(_WS_RE, " ", s)
+    return s.strip()
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-vectorized extraction over a binary html column."""
+    s = html.str.decode("utf-8")
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = s.str.replace(_WS_RE, " ", regex=True)
+    return s.str.strip()

@@ -1,0 +1,114 @@
+"""Lake-table layer: atomic snapshot commit, batch-id idempotence,
+bucket-pruned copy-on-write, schema evolution, truncate, time travel."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigquery_delta_plugins_spark import constants as C
+from bigquery_delta_plugins_spark import schemas
+from bigquery_delta_plugins_spark.lake.table import LakeTable
+
+SOURCE = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+TARGET = schemas.target_schema(SOURCE)
+
+
+def target_rows(spark, rows):
+    data = [
+        {"id": i, "name": n, C.SEQUENCE_NUM: s, C.IS_DELETED: None,
+         C.ROW_ID: None, C.SOURCE_TIMESTAMP: None}
+        for (i, n, s) in rows
+    ]
+    return spark.createDataFrame(data, TARGET)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), TARGET, ["id"], num_buckets=4
+    )
+
+
+def test_append_and_read(spark, table):
+    table.append(target_rows(spark, [(1, "a", 1), (2, "b", 2)]), batch_id=0)
+    got = {(r["id"], r["name"]) for r in table.read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert table.latest_batch_id() == 0
+
+
+def test_append_replay_is_noop(spark, table):
+    df = target_rows(spark, [(1, "a", 1)])
+    assert table.append(df, batch_id=0) is not None
+    assert table.append(df, batch_id=0) is None  # same batch -> skipped
+    assert table.read().count() == 1
+
+
+def test_overwrite_buckets_rewrites_only_touched(spark, table):
+    table.append(target_rows(spark, [(i, f"n{i}", i) for i in range(20)]), 0)
+    snap0 = table.current_snapshot()
+    all_buckets = {f["bucket"] for f in snap0["files"]}
+    assert all_buckets == {0, 1, 2, 3}
+
+    # rewrite bucket of id=1 only
+    from bigquery_delta_plugins_spark.lake.table import bucket_expr
+
+    b1 = (
+        target_rows(spark, [(1, "x", 99)])
+        .select(bucket_expr(["id"], 4).alias("b"))
+        .first()["b"]
+    )
+    untouched = all_buckets - {b1}
+    current = table.read(buckets={b1})
+    new_rows = current.withColumn(
+        "name", F.when(F.col("id") == 1, F.lit("CHANGED")).otherwise(F.col("name"))
+    )
+    table.overwrite_buckets(new_rows, {b1}, batch_id=1, max_seq=99)
+
+    snap1 = table.current_snapshot()
+    kept = {f["path"] for f in snap1["files"] if f["bucket"] in untouched}
+    orig = {f["path"] for f in snap0["files"] if f["bucket"] in untouched}
+    assert kept == orig  # untouched buckets carry the SAME files over
+    got = {r["name"] for r in table.read().filter(F.col("id") == 1).collect()}
+    assert got == {"CHANGED"}
+    assert table.read().count() == 20
+
+
+def test_time_travel(spark, table):
+    table.append(target_rows(spark, [(1, "a", 1)]), 0)
+    table.append(target_rows(spark, [(2, "b", 2)]), 1)
+    assert table.read(snapshot_id=1).count() == 1
+    assert table.read().count() == 2
+
+
+def test_schema_evolution_add_column(spark, table):
+    table.append(target_rows(spark, [(1, "a", 1)]), 0)
+    wider = T.StructType(
+        SOURCE.fields + [T.StructField("extra", T.StringType(), False)]
+    )
+    table.alter_add_columns(schemas.target_schema(wider))
+    out = table.read()
+    assert "extra" in out.columns
+    row = out.first()
+    assert row["extra"] is None  # old files surface NULL
+    # added columns are adopted as nullable even if declared required
+    assert dict((f.name, f.nullable) for f in table.schema.fields)["extra"] is True
+
+
+def test_truncate_keeps_definition(spark, table):
+    table.append(target_rows(spark, [(1, "a", 1)]), 0)
+    table.truncate()
+    assert table.read().count() == 0
+    assert table.primary_keys == ["id"]
+
+
+def test_create_conflict(spark, table, tmp_path):
+    with pytest.raises(FileExistsError):
+        LakeTable.create(spark, str(tmp_path / "t"), TARGET, ["id"])
+    # if_not_exists mirrors the reference's conflict tolerance
+    t2 = LakeTable.create(spark, str(tmp_path / "t"), TARGET, ["id"], if_not_exists=True)
+    assert t2.exists()
