@@ -1,38 +1,190 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship CDC apply end-to-end (generator -> staged
+batches -> flatten -> merge -> lake snapshots) on sf0.001 and returns
+the final pages-table state.  ``queries``/``oracle_sql`` expose each
+implemented operator from SURVEY.md §2 with a DuckDB-checkable ANSI-SQL
+oracle; the CDC oracles are direct transliterations of the reference's
+generated diff/MERGE SQL (BigQueryEventConsumer.java:1154-1391), so the
+gate validates this engine against the reference's semantics.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """CDC replay of a deterministic synthetic binlog over Common-Crawl
+    style pages into a lake table; returns the final table state."""
+    from pyspark.sql import types as T
+
+    from bigquery_delta_plugins_spark import constants as C
+    from bigquery_delta_plugins_spark.sources.gen import synth_events
+    from bigquery_delta_plugins_spark.streaming.consumer import EventConsumer
+    from bigquery_delta_plugins_spark.streaming.driver import run_microbatch_loop
+    from bigquery_delta_plugins_spark.types import DDLEvent, DDLOp
+
+    pages = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="bdps-entry-")
+    consumer = EventConsumer(spark, os.path.join(root, "wh"), num_buckets=8)
+    consumer.apply_ddl(
+        DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=pages, primary_keys=["url"])
+    )
+    n_events, batch_size = 4000, 1000
+    ev = synth_events(spark, n_events, 200, batch_size=batch_size, pk_move_frac=0.02)
+    batches = [
+        (b, ev.filter(ev[C.BATCH_ID] == b)) for b in range(n_events // batch_size)
+    ]
+    run_microbatch_loop(consumer, batches, "web", "pages", os.path.join(root, "cp"))
+    return consumer.table("web", "pages").read()
+
+
+# ---------------------------------------------------------------------------
+# operator queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# shared CTE: the staged CDC derivation over `events` (dialect-neutral)
+_STAGED = """
+staged AS (
+  SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+              WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS _op,
+         event_id + 1 AS _sequence_num,
+         user_id,
+         value,
+         CASE WHEN event_type = 'signup' THEN NULL ELSE user_id END AS _before_user_id
+  FROM events
+)
+"""
+
+_DIFF_TEMPLATE = """
+{name} AS (
+  SELECT A._op, A._sequence_num, A.user_id, A.value, A._before_user_id
+  FROM {src} A LEFT JOIN {src} B
+    ON A.user_id = B._before_user_id AND A._sequence_num < B._sequence_num
+  WHERE B._before_user_id IS NULL
+)
+"""
+
+_SPLIT = """
+half AS (SELECT CAST((MAX(event_id) + 1) // 2 AS BIGINT) AS h FROM events),
+s0 AS (SELECT s.* FROM staged s, half WHERE s._sequence_num <= half.h),
+s1 AS (SELECT s.* FROM staged s, half WHERE s._sequence_num > half.h)
+"""
+
+_T0 = """
+t0 AS (
+  SELECT user_id, value, _sequence_num, CAST(NULL AS BOOLEAN) AS _is_deleted
+  FROM d0 WHERE _op IN ('INSERT', 'UPDATE')
+)
+"""
+
+
+def _final_state_sql(soft: bool) -> str:
+    if soft:
+        arms = """
+m AS (
+  SELECT t.user_id AS t_user_id, t.value AS t_value, t._sequence_num AS t_seq,
+         d._op AS op, d.user_id AS d_user_id, d.value AS d_value,
+         d._sequence_num AS d_seq
+  FROM t0 t JOIN d1 d ON t.user_id = d._before_user_id
+),
+applied AS (
+  SELECT CASE WHEN op = 'DELETE' THEN t_user_id ELSE d_user_id END AS user_id,
+         CASE WHEN op = 'DELETE' THEN t_value ELSE d_value END AS value,
+         CASE WHEN op = 'DELETE' THEN t_seq ELSE d_seq END AS _sequence_num,
+         CASE WHEN op = 'DELETE' THEN TRUE ELSE CAST(NULL AS BOOLEAN) END AS _is_deleted
+  FROM m
+)"""
+    else:
+        arms = """
+applied AS (
+  SELECT d.user_id, d.value, d._sequence_num, CAST(NULL AS BOOLEAN) AS _is_deleted
+  FROM t0 t JOIN d1 d ON t.user_id = d._before_user_id
+  WHERE d._op <> 'DELETE'
+)"""
+    return (
+        "WITH "
+        + _STAGED.strip().rstrip()
+        + ",\n"
+        + _SPLIT.strip()
+        + ",\n"
+        + _DIFF_TEMPLATE.format(name="d0", src="s0").strip()
+        + ",\n"
+        + _T0.strip()
+        + ",\n"
+        + _DIFF_TEMPLATE.format(name="d1", src="s1").strip()
+        + ",\n"
+        + arms.strip()
+        + """,
+kept AS (
+  SELECT t.* FROM t0 t
+  WHERE NOT EXISTS (SELECT 1 FROM d1 d WHERE d._before_user_id = t.user_id)
+),
+inserted AS (
+  SELECT d.user_id, d.value, d._sequence_num, CAST(NULL AS BOOLEAN) AS _is_deleted
+  FROM d1 d
+  WHERE d._op <> 'DELETE'
+    AND NOT EXISTS (SELECT 1 FROM t0 t WHERE t.user_id = d._before_user_id)
+)
+SELECT * FROM kept UNION ALL SELECT * FROM applied UNION ALL SELECT * FROM inserted"""
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bigquery_delta_plugins_spark.plans import cdc_queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_flatten": q.cdc_flatten,
+        "cdc_final_state": lambda s, d: q.cdc_final_state(s, d, soft=False),
+        "cdc_final_state_soft": lambda s, d: q.cdc_final_state(s, d, soft=True),
+        "cdc_max_seq": q.cdc_max_seq,
+        "cdc_replay_barrier": q.cdc_replay_barrier,
+        "cdc_normalized_projection": q.cdc_normalized_projection,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_flatten": (
+            "WITH "
+            + _STAGED.strip()
+            + ",\n"
+            + _DIFF_TEMPLATE.format(name="diff", src="staged").strip()
+            + "\nSELECT _op, _sequence_num, user_id, value, _before_user_id FROM diff"
+        ),
+        "cdc_final_state": _final_state_sql(False),
+        "cdc_final_state_soft": _final_state_sql(True),
+        "cdc_max_seq": (
+            "SELECT MAX(m) AS max_seq FROM ("
+            "SELECT MAX(event_id + 1) AS m FROM events GROUP BY event_type)"
+        ),
+        "cdc_replay_barrier": (
+            "WITH "
+            + _STAGED.strip()
+            + """
+SELECT COUNT(*) AS n_events, MAX(_sequence_num) AS max_seq, MIN(_sequence_num) AS min_seq
+FROM staged
+WHERE CAST(FLOOR((_sequence_num - 1) / 2500) AS BIGINT) = 3 AND _sequence_num > 8000"""
+        ),
+        "cdc_normalized_projection": (
+            'SELECT user_id AS "user_id_", event_type AS "_2type", '
+            'COUNT(*) AS "n_events" FROM events GROUP BY user_id, event_type'
+        ),
+    }

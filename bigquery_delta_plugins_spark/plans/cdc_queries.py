@@ -1,0 +1,122 @@
+"""Driver-checkable CDC queries over the shared ``events`` test table.
+
+Each function here has a matching ANSI-SQL oracle in
+``__spark_entry__.oracle_sql`` that DuckDB runs on the same parquet —
+the oracle SQL is a direct transliteration of the reference's generated
+queries (diff: BigQueryEventConsumer.java:1154-1223, merge arms
+:1225-1391), so the gate checks this engine against the reference's
+semantics, not against itself.
+
+The staged-event derivation maps the synthetic app-event stream onto
+the CDC staging shape deterministically: ``signup``->INSERT,
+``error``->DELETE, everything else->UPDATE; ``_sequence_num`` is
+``event_id + 1``; the key is ``user_id`` (150 hot users over 10k+
+events — a natural skew workload for the flatten collapse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import constants as C
+from ..operators.flatten import flatten_batch, replay_filter
+from ..operators.merge import merge_apply
+
+TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField(C.SEQUENCE_NUM, T.LongType(), True),
+        T.StructField(C.IS_DELETED, T.BooleanType(), True),
+    ]
+)
+
+# the CASE mapping shared verbatim (modulo dialect) with the SQL oracles
+OP_CASE = (
+    "CASE WHEN event_type = 'signup' THEN 'INSERT' "
+    "WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END"
+)
+
+
+def staged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    op = F.expr(OP_CASE)
+    return ev.select(
+        op.alias(C.OPERATION),
+        (F.col("event_id") + 1).alias(C.SEQUENCE_NUM),
+        F.col("user_id"),
+        F.col("value"),
+        F.when(op != C.OP_INSERT, F.col("user_id")).alias("_before_user_id"),
+    )
+
+
+def _half_point(spark: SparkSession, sf_dir: str) -> int:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.agg(F.max("event_id")).first()[0] + 1) // 2
+
+
+def _apply(target: DataFrame, staged: DataFrame, soft: bool) -> DataFrame:
+    diff = flatten_batch(staged, ["user_id"])
+    return merge_apply(target, diff, ["user_id"], soft_deletes=soft)
+
+
+def cdc_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6+O7: the diff query over the full staged stream."""
+    return flatten_batch(staged_events(spark, sf_dir), ["user_id"]).select(
+        C.OPERATION, C.SEQUENCE_NUM, "user_id", "value", "_before_user_id"
+    )
+
+
+def cdc_final_state(spark: SparkSession, sf_dir: str, soft: bool = False) -> DataFrame:
+    """O7+O9(+O30): two-batch flatten+merge replay to final table state."""
+    staged = staged_events(spark, sf_dir)
+    half = _half_point(spark, sf_dir)
+    s0 = staged.filter(F.col(C.SEQUENCE_NUM) <= half)
+    s1 = staged.filter(F.col(C.SEQUENCE_NUM) > half)
+    empty = spark.createDataFrame([], TARGET_SCHEMA)
+    t0 = _apply(empty, s0, soft)
+    return _apply(t0, s1, soft).select(
+        "user_id", "value", C.SEQUENCE_NUM, C.IS_DELETED
+    )
+
+
+def cdc_max_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10-O12: batched multi-table UNION-ALL max-sequence resume point
+    (per-event-type frames standing in for per-table frames)."""
+    from ..operators.maxseq import max_sequence_num_all
+
+    staged = staged_events(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_id") + 1).alias(C.SEQUENCE_NUM), "event_type"
+    )
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    frames = [ev.filter(F.col("event_type") == t) for t in sorted(types)]
+    v = max_sequence_num_all(frames)
+    return spark.createDataFrame([(v,)], T.StructType([T.StructField("max_seq", T.LongType(), False)]))
+
+
+def cdc_replay_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: idempotent replay barrier — batch + sequence predicate."""
+    staged = staged_events(spark, sf_dir).withColumn(
+        C.BATCH_ID, F.floor((F.col(C.SEQUENCE_NUM) - 1) / F.lit(2500)).cast("long")
+    )
+    surv = replay_filter(staged, batch_id=3, latest_merged_seq=8000)
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(C.SEQUENCE_NUM).alias("max_seq"),
+        F.min(C.SEQUENCE_NUM).alias("min_seq"),
+    )
+
+
+def cdc_normalized_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18: BigQuery-compatible column-name normalization as a zero-cost
+    Catalyst projection over a dirty-named intermediate."""
+    from ..normalize import normalize_columns
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dirty = ev.groupBy(
+        F.col("user_id").alias("user id?"), F.col("event_type").alias("2type")
+    ).agg(F.count(F.lit(1)).alias("n!events"))
+    return normalize_columns(dirty)
