@@ -149,6 +149,7 @@ SELECT * FROM kept UNION ALL SELECT * FROM applied UNION ALL SELECT * FROM inser
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from bigquery_delta_plugins_spark.plans import cdc_queries as q
+    from bigquery_delta_plugins_spark.plans import pipeline_queries as p
 
     return {
         "cdc_flatten": q.cdc_flatten,
@@ -157,11 +158,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_max_seq": q.cdc_max_seq,
         "cdc_replay_barrier": q.cdc_replay_barrier,
         "cdc_normalized_projection": q.cdc_normalized_projection,
+        **p.QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from bigquery_delta_plugins_spark.plans import pipeline_queries as p
+
     return {
+        **p.oracles(),
         "cdc_flatten": (
             "WITH "
             + _STAGED.strip()

@@ -1,0 +1,248 @@
+"""Document deduplication operators for web-scale corpus curation.
+
+Four families, all expressed as declarative DataFrame plans (no Python
+in the hot path) so Catalyst/AQE pick the physical strategy:
+
+- **Exact**: hash-groupBy on md5(text) — one shuffle, map-side partial
+  aggregation collapses duplicate-heavy partitions before the exchange.
+- **N-gram Jaccard** (ground truth): word-shingle inverted index
+  self-join; pairs sharing a shingle get ``|A∩B| / (|A|+|B|-|A∩B|)``.
+  The ``max_df`` knob drops stop-shingles (document frequency cap) —
+  at 100 TB the inverted index is Zipfian and the hottest shingle would
+  otherwise produce a quadratic pair blow-up on one reducer.
+- **MinHash + LSH**: k independent min-hashes per shingle set (min of
+  md5(seed:shingle) — a random-permutation surrogate that any SQL engine
+  reproduces), banded so that only band-collision candidates are
+  verified with true Jaccard.  Verification joins the shingle index
+  *through the candidate list* (candidate-restricted), so verify cost
+  scales with candidates, not with |docs|².
+- **SimHash**: 32-bit sign-of-weighted-bit-sums fingerprint per doc;
+  candidates blocked on 8-bit bands (pigeonhole: hamming ≤ 3 implies an
+  identical band), hamming-filtered via ``bit_count(xor)``, then
+  Jaccard-verified.
+
+No reference counterpart (the reference's dedup is event-replay dedup,
+BigQueryEventConsumer.java:626-648); these are the training-data-pipeline
+operators mandated alongside the CDC engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash32, tokens
+
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+
+
+def shingle_array(text: Column, k: int = 3) -> Column:
+    """Word k-shingles: ``concat_ws(' ', tokens[i:i+k])`` for every
+    window; short docs yield one (partial) shingle."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) with per-doc distinct shingles (set semantics)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_array(F.col(text_col), k))).alias("shingle"),
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct text, min-id survivor + count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
+    """Jaccard for (id_a, id_b) pairs from a shingle index.  With
+    ``pairs`` given, the intersection join is candidate-restricted."""
+    cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if pairs is None:
+        common = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        common = (
+            pairs.join(sh.alias("sa"), F.col("sa.id") == F.col("id_a"))
+            .join(
+                sh.alias("sb"),
+                (F.col("sb.id") == F.col("id_b"))
+                & (F.col("sa.shingle") == F.col("sb.shingle")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    j = (
+        common.join(cnt.alias("ca"), F.col("ca.id") == F.col("id_a"))
+        .join(cnt.alias("cb"), F.col("cb.id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exhaustive n-gram Jaccard near-dup pairs (the ground truth the
+    LSH variants approximate).  ``max_df`` caps shingle document
+    frequency to kill the hot-shingle quadratic blow-up at scale."""
+    sh = shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return _pair_jaccard(sh, None, threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash signatures -> banded LSH candidates -> Jaccard verify.
+
+    The min-hash for seed ``h`` is ``min(md5('h:' || shingle))`` — the
+    lexicographic min over an md5-keyed ordering of the shingle set, a
+    standard permutation surrogate that is exactly reproducible in any
+    engine with md5.  One aggregation computes all ``num_hashes`` mins
+    (map-side partial agg); candidates join on (band index, band hash).
+    """
+    r = num_hashes // bands
+    sh = shingles(df, id_col, text_col, k)
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"mh_{h}")
+            for h in range(num_hashes)
+        ]
+    )
+    band_vals = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.posexplode(band_vals).alias("band_idx", "band_val"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, cand, threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 32-bit SimHash over the distinct-token set: bit b of the
+    fingerprint is set iff more than half the tokens have bit b set in
+    their 32-bit hash (+1/-1 majority vote)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    ).withColumn("h", hash32(F.col("token")))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = tok.groupBy("id").agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"c_{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return bits.select("id", sim.alias("simhash"), F.col("n").alias("n_tokens"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    max_hamming: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SimHash-blocked near-dup pairs: band-join candidates (4 x 8-bit
+    bands — complete for hamming <= 3 by pigeonhole), hamming filter via
+    ``bit_count(xor)``, then candidate-restricted Jaccard verify."""
+    sim = simhash(df, id_col, text_col)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * SIMHASH_BAND_BITS).bitwiseAND(
+                F.lit((1 << SIMHASH_BAND_BITS) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = sim.select(
+        "id", "simhash", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    sh = shingles(df, id_col, text_col, k)
+    verified = _pair_jaccard(sh, cand.select("id_a", "id_b"), threshold)
+    return verified.join(cand, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "hamming", "jaccard"
+    )

@@ -1,0 +1,411 @@
+"""Training-data-pipeline queries over ``documents`` / ``embeddings``
+with exact DuckDB oracle SQL.
+
+Each ``(spark, sf_dir) -> DataFrame`` callable here has a matching
+ANSI-SQL string in ``ORACLES`` generated from the *same* Python
+constants (stopword sets, thresholds, LSH plane matrices, hash recipe),
+so the driver's side-by-side DuckDB comparison checks the engine's
+values bit-for-bit — including IEEE doubles, which both engines compute
+as index-ordered left folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.multimodal import extract_features, with_binary_payload
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+
+# Tunables shared between the Spark plans and the SQL oracles.
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_NUM = 8
+MINHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 2
+COSINE_THRESHOLD = 0.4
+ANN_K = 5
+ANN_N_QUERIES = 8
+ANN_PLANES = 8
+EMBED_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------- text stats
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    n = TX.token_count(t)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        TX.distinct_token_count(t).alias("n_distinct"),
+        TX.char_count(t).alias("n_chars_calc"),
+        (TX.token_len_sum(t) / n).alias("avg_token_len"),
+        (TX.stopword_count(t) / n).alias("stopword_ratio"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    cols = [F.col("doc_id")]
+    cols += [TX.lang_hits(t, lang).alias(f"hits_{lang}") for lang in TX.LANGS]
+    cols.append(TX.predicted_lang(t).alias("predicted_lang"))
+    return _docs(spark, sf_dir).select(*cols)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.fingerprint(t).alias("fingerprint"),
+    )
+
+
+# -------------------------------------------------------------------- dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.dedup_exact(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=SHINGLE_K, threshold=JACCARD_THRESHOLD
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=SHINGLE_K,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=SHINGLE_K,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+# --------------------------------------------------------------- similarity
+
+
+def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_pairs(
+        _embs(spark, sf_dir), "vec_id", "embedding", threshold=COSINE_THRESHOLD
+    )
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    return SIM.ann_bruteforce_topk(
+        e, e.filter(F.col("vec_id") < ANN_N_QUERIES), "vec_id", "embedding", k=ANN_K
+    )
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    return SIM.ann_lsh_topk(
+        e,
+        e.filter(F.col("vec_id") < ANN_N_QUERIES),
+        "vec_id",
+        "embedding",
+        k=ANN_K,
+        planes=ANN_PLANES,
+        dim=EMBED_DIM,
+    )
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(_docs(spark, sf_dir), "text")
+    return extract_features(docs, "doc_id")
+
+
+# =========================================================== oracle SQL gen
+
+_TOKS = r"toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)"
+
+_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def _in_list(words) -> str:
+    return ", ".join("'" + w + "'" for w in words)
+
+
+def _shingles_cte(k: int) -> str:
+    return (
+        "sh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform("
+        f"range(1, greatest(len(t) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(t[i:i+{k - 1}], ' ')))) AS shingle FROM toks)"
+    )
+
+
+def _jaccard_tail(threshold: float, extra_cols: str = "") -> str:
+    return (
+        "cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id)\n"
+        "SELECT c.id_a, c.id_b"
+        + extra_cols
+        + ", c.c / (ca.n + cb.n - c.c) AS jaccard\n"
+        "FROM common c JOIN cnt ca ON ca.id = c.id_a JOIN cnt cb ON cb.id = c.id_b\n"
+        f"WHERE c.c / (ca.n + cb.n - c.c) >= {threshold}"
+    )
+
+
+def _sql_token_stats() -> str:
+    stop = _in_list(TX.ALL_STOPWORDS)
+    return f"""WITH {_TOKS}
+SELECT d.doc_id,
+  len(t) AS n_tokens,
+  len(list_distinct(t)) AS n_distinct,
+  length(d.text) AS n_chars_calc,
+  list_aggregate(list_transform(t, x -> length(x)), 'sum') / len(t) AS avg_token_len,
+  len(list_filter(t, x -> x IN ({stop}))) / len(t) AS stopword_ratio,
+  0.3 * least(1.0, len(t) / 100.0)
+    + 0.4 * (len(list_distinct(t)) / len(t))
+    + 0.3 * (1.0 - len(list_filter(t, x -> x IN ({stop}))) / len(t)) AS quality
+FROM toks JOIN documents d USING (doc_id)"""
+
+
+def _sql_lang_id() -> str:
+    hit_cols = ",\n  ".join(
+        f"len(list_filter(t, x -> x IN ({_in_list(TX.STOPWORDS[lang])}))) AS hits_{lang}"
+        for lang in TX.LANGS
+    )
+    g = "greatest(" + ", ".join(f"hits_{lang}" for lang in TX.LANGS) + ")"
+    chain = " ".join(
+        f"WHEN hits_{lang} = {g} THEN '{lang}'" for lang in TX.LANGS
+    )
+    return f"""WITH {_TOKS},
+hits AS (SELECT doc_id,
+  {hit_cols}
+FROM toks)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in TX.LANGS)},
+  CASE WHEN {g} = 0 THEN 'und' {chain} ELSE 'und' END AS predicted_lang
+FROM hits"""
+
+
+def _sql_fingerprint() -> str:
+    h = _H32.format(x="t[i]")
+    return f"""WITH {_TOKS}
+SELECT doc_id, len(t) AS n_tokens,
+  list_aggregate(list_transform(range(1, len(t) + 1),
+    i -> ({h} % {TX.FINGERPRINT_MOD}) * i), 'sum') AS fingerprint
+FROM toks"""
+
+
+def _sql_dedup_exact() -> str:
+    return (
+        "SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id, "
+        "count(*) AS n_docs FROM documents GROUP BY md5(text)"
+    )
+
+
+def _sql_dedup_jaccard() -> str:
+    return f"""WITH {_TOKS},
+{_shingles_cte(SHINGLE_K)},
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+{_jaccard_tail(JACCARD_THRESHOLD)}"""
+
+
+def _sql_dedup_minhash() -> str:
+    r = MINHASH_NUM // MINHASH_BANDS
+    mins = ",\n  ".join(
+        f"min(md5('{h}:' || shingle)) AS mh_{h}" for h in range(MINHASH_NUM)
+    )
+    bands = "\n  UNION ALL ".join(
+        "SELECT id, {i} AS band_idx, md5({expr}) AS band_val FROM sig".format(
+            i=b,
+            expr=" || '|' || ".join(f"mh_{b * r + i}" for i in range(r)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""WITH {_TOKS},
+{_shingles_cte(SHINGLE_K)},
+sig AS (SELECT id,
+  {mins}
+FROM sh GROUP BY id),
+banded AS (
+  {bands}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
+common AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS c
+  FROM cand
+  JOIN sh sa ON sa.id = cand.id_a
+  JOIN sh sb ON sb.id = cand.id_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2),
+{_jaccard_tail(JACCARD_THRESHOLD)}"""
+
+
+def _sql_dedup_simhash() -> str:
+    h = _H32.format(x="token")
+    csums = ",\n  ".join(
+        f"sum((h >> {b}) & 1) AS c_{b}" for b in range(DD.SIMHASH_BITS)
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN c_{b} * 2 > n THEN {1 << b} ELSE 0 END)"
+        for b in range(DD.SIMHASH_BITS)
+    )
+    n_bands = DD.SIMHASH_BITS // DD.SIMHASH_BAND_BITS
+    mask = (1 << DD.SIMHASH_BAND_BITS) - 1
+    bands = "\n  UNION ALL ".join(
+        f"SELECT id, {i} AS band_idx, (simhash >> {i * DD.SIMHASH_BAND_BITS}) & {mask} "
+        "AS band_val, simhash FROM sim"
+        for i in range(n_bands)
+    )
+    return f"""WITH {_TOKS},
+tokd AS (SELECT doc_id AS id, unnest(list_distinct(t)) AS token FROM toks),
+th AS (SELECT id, {h} AS h FROM tokd),
+bits AS (SELECT id, count(*) AS n,
+  {csums}
+FROM th GROUP BY id),
+sim AS (SELECT id, {simexpr} AS simhash FROM bits),
+banded AS (
+  {bands}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id
+  WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= {SIMHASH_MAX_HAMMING}),
+{_shingles_cte(SHINGLE_K)},
+common AS (
+  SELECT cand.id_a, cand.id_b, any_value(cand.hamming) AS hamming, count(*) AS c
+  FROM cand
+  JOIN sh sa ON sa.id = cand.id_a
+  JOIN sh sb ON sb.id = cand.id_b AND sa.shingle = sb.shingle
+  GROUP BY cand.id_a, cand.id_b),
+{_jaccard_tail(JACCARD_THRESHOLD, extra_cols=", c.hamming")}"""
+
+
+_DOT = (
+    "list_reduce(list_transform(range(1, {n} + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str, n: str = "len({a})") -> str:
+    n = n.format(a=a)
+    return (
+        _DOT.format(a=a, b=b, n=n)
+        + " / sqrt(" + _DOT.format(a=a, b=a, n=n) + ")"
+        + " / sqrt(" + _DOT.format(a=b, b=b, n=n) + ")"
+    )
+
+
+def _sql_embed_neardup() -> str:
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}"""
+
+
+def _sql_ann_bruteforce() -> str:
+    cos = _cos_sql("q.embedding", "c.embedding")
+    return f"""WITH p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < {ANN_N_QUERIES} AND q.vec_id <> c.vec_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM p)
+SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {ANN_K}"""
+
+
+def _sql_ann_lsh() -> str:
+    signs = SIM.plane_signs(ANN_PLANES, EMBED_DIM)
+    terms = []
+    for p, row in enumerate(signs):
+        arr = "[" + ", ".join(f"{float(s)}" for s in row) + "]"
+        d = _DOT.format(a=arr, b="{v}", n=str(EMBED_DIM))
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    cos = _cos_sql("q.qv", "c.cv", n=str(EMBED_DIM))
+    bq = bucket.format(v="embedding")
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {bq} AS bucket
+  FROM embeddings WHERE vec_id < {ANN_N_QUERIES}),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, {bq} AS bucket
+  FROM embeddings),
+p AS (
+  SELECT q.query_id, c.neighbor_id, {cos} AS cosine
+  FROM c JOIN q USING (bucket) WHERE q.query_id <> c.neighbor_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM p)
+SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {ANN_K}"""
+
+
+def _sql_multimodal() -> str:
+    return """SELECT doc_id,
+  strlen(text) AS n_bytes,
+  lower(hex(substr(text, 1, 8))) AS header_hex,
+  list_aggregate(list_transform(range(1, strlen(text) + 1),
+    i -> ord(substr(text, i, 1))), 'sum') % 2147483648 AS byte_sum,
+  len(list_filter(range(1, strlen(text) + 1),
+    i -> ord(substr(text, i, 1)) >= 128)) = 0 AS is_ascii
+FROM documents"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "embed_cosine_neardup": embed_cosine_neardup,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+    "multimodal_features": multimodal_features,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "text_token_stats": _sql_token_stats(),
+        "text_lang_id": _sql_lang_id(),
+        "text_fingerprint": _sql_fingerprint(),
+        "dedup_exact": _sql_dedup_exact(),
+        "dedup_ngram_jaccard": _sql_dedup_jaccard(),
+        "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "dedup_simhash": _sql_dedup_simhash(),
+        "embed_cosine_neardup": _sql_embed_neardup(),
+        "ann_topk_bruteforce": _sql_ann_bruteforce(),
+        "ann_topk_lsh": _sql_ann_lsh(),
+        "multimodal_features": _sql_multimodal(),
+    }

@@ -1,0 +1,245 @@
+"""Tests for the training-data-pipeline operators: text stats, dedup
+(exact / Jaccard / MinHash-LSH / SimHash), embedding similarity, and
+multimodal binary plumbing."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigquery_delta_plugins_spark.functions import text as TX
+from bigquery_delta_plugins_spark.functions.multimodal import (
+    extract_features,
+    with_binary_payload,
+)
+from bigquery_delta_plugins_spark.operators import dedup as DD
+from bigquery_delta_plugins_spark.operators import similarity as SIM
+
+from conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "der hund und die katze und das haus"),
+        (3, "completely different words entirely unrelated tokens"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (5, "solo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_token_stats(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("n"),
+            TX.distinct_token_count(F.col("text")).alias("nd"),
+            TX.stopword_count(F.col("text")).alias("stop"),
+        ).collect()
+    }
+    assert out[0]["n"] == 9 and out[0]["nd"] == 8  # 'the' twice
+    assert out[0]["stop"] == 2  # the, the
+    assert out[5]["n"] == 1 and out[5]["nd"] == 1 and out[5]["stop"] == 0
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [r[0] for r in docs.select(TX.quality_score(F.col("text"))).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_lang_id(spark, docs):
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", TX.predicted_lang(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[0] == "en"
+    assert out[2] == "de"
+    assert out[5] == "und"  # no stopword hit at all
+
+
+def test_fingerprint_matches_python(spark, docs):
+    def py_fp(text):
+        toks = text.strip().split()
+        return sum(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % TX.FINGERPRINT_MOD)
+            * (i + 1)
+            for i, t in enumerate(toks)
+        )
+
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    for r in docs.collect():
+        assert out[r["doc_id"]] == py_fp(r["text"])
+    # position sensitivity: same multiset, different order -> different fp
+    d2 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha")], "doc_id long, text string"
+    )
+    fps = [r[0] for r in d2.select(TX.fingerprint(F.col("text"))).collect()]
+    assert fps[0] != fps[1]
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def test_dedup_exact(spark, docs):
+    out = DD.dedup_exact(docs, "doc_id", "text")
+    assert out.count() == 5  # 6 docs, one exact-dup pair
+    dup = out.filter(F.col("n_docs") > 1).first()
+    assert dup["n_docs"] == 2 and dup["survivor_id"] == 0
+
+
+def test_jaccard_pairs_ground_truth(spark, docs):
+    pairs = rows_set(
+        DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.5), ["id_a", "id_b"]
+    )
+    assert (0, 4) in pairs  # exact dup -> jaccard 1.0
+    assert (0, 1) in pairs and (1, 4) in pairs  # near-dups (1 of 9 tokens differ)
+    assert all(a < b for a, b in pairs)
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert j[(0, 4)] == 1.0
+    # shingle sets of docs 0/1: 7 shingles each, 6 common -> 6/8
+    assert j[(0, 1)] == 0.75
+
+
+def test_minhash_lsh_subset_of_ground_truth(spark, docs):
+    truth = rows_set(
+        DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.5), ["id_a", "id_b"]
+    )
+    lsh = rows_set(
+        DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5), ["id_a", "id_b"]
+    )
+    assert lsh <= truth
+    assert (0, 4) in lsh  # identical docs always collide in every band
+
+
+def test_simhash_identical_and_pairs(spark, docs):
+    sims = {
+        r["id"]: r["simhash"] for r in DD.simhash(docs, "doc_id", "text").collect()
+    }
+    assert sims[0] == sims[4]  # identical text -> identical fingerprint
+    pairs = DD.simhash_pairs(docs, "doc_id", "text", max_hamming=2, threshold=0.5)
+    got = rows_set(pairs, ["id_a", "id_b", "hamming"])
+    assert (0, 4, 0) in got
+    truth = rows_set(
+        DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.5), ["id_a", "id_b"]
+    )
+    assert {(a, b) for a, b, _ in got} <= truth
+
+
+def test_jaccard_max_df_drops_hot_shingles(spark, docs):
+    # with every shingle capped out, no pairs survive
+    none = DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.0, max_df=0)
+    assert none.count() == 0
+
+
+# ------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(20):
+        if i < 3:  # cluster around base
+            v = base + 0.01 * rng.standard_normal(8)
+        else:
+            v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def _np_cos(a, b):
+    a, b = np.array(a, dtype=np.float64), np.array(b, dtype=np.float64)
+    return float(a @ b / np.sqrt(a @ a) / np.sqrt(b @ b))
+
+
+def test_cosine_pairs(spark, vecs):
+    df, rows = vecs
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.cosine_pairs(df, "vec_id", "embedding", threshold=0.9).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}  # the planted cluster
+    for (a, b), c in got.items():
+        assert math.isclose(c, _np_cos(rows[a][1], rows[b][1]), rel_tol=1e-9)
+
+
+def test_ann_bruteforce_topk(spark, vecs):
+    df, rows = vecs
+    out = SIM.ann_bruteforce_topk(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=3
+    ).collect()
+    got = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    cos = sorted(
+        ((_np_cos(rows[0][1], rows[i][1]), i) for i in range(1, 20)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert got == [(k + 1, cos[k][1]) for k in range(3)]
+
+
+def test_ann_lsh_topk_is_bucket_restricted_exact(spark, vecs):
+    df, rows = vecs
+    out = SIM.ann_lsh_topk(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=3, dim=8
+    ).collect()
+    # every returned cosine is the exact cosine, ranks are contiguous
+    for r in out:
+        assert math.isclose(
+            r["cosine"], _np_cos(rows[0][1], rows[r["neighbor_id"]][1]), rel_tol=1e-9
+        )
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, len(out) + 1)
+    )
+    # the near-identical cluster lands in the query's bucket
+    ids = {r["neighbor_id"] for r in out}
+    assert {1, 2} <= ids
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(spark, docs):
+    payload = with_binary_payload(docs, "text")
+    meta = payload.select("payload_meta.*", "payload").first()
+    assert meta["format"] == "txt"
+    assert meta["n_bytes"] == len(meta["payload"])
+    feats = {r["doc_id"]: r for r in extract_features(payload, "doc_id").collect()}
+    for r in docs.collect():
+        raw = r["text"].encode()
+        f = feats[r["doc_id"]]
+        assert f["n_bytes"] == len(raw)
+        assert f["header_hex"] == raw[:8].hex()
+        assert f["byte_sum"] == sum(raw) % 2_147_483_648
+        assert f["is_ascii"] is True
+
+
+def test_decode_image_is_stubbed():
+    from bigquery_delta_plugins_spark.functions.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", "png")
