@@ -60,6 +60,105 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator queries + DuckDB oracles
 # ---------------------------------------------------------------------------
 
+# unordered-source staging + ordering condition (reference
+# getOrderingCondition, BigQueryEventConsumer.java:1486-1558)
+_STAGED_U = """
+staged_u AS (
+  SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+              WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS _op,
+         event_id + 1 AS _sequence_num,
+         user_id,
+         value,
+         CASE WHEN event_type = 'signup' THEN NULL ELSE user_id END AS _before_user_id,
+         CAST(FLOOR((event_id + 1) / 3) AS BIGINT) AS _source_timestamp,
+         CASE WHEN user_id % 13 <> 0 THEN value END AS k0,
+         (event_id + 1) % 5 AS k1
+  FROM events
+)
+"""
+
+
+def _hb(left: str, right: str) -> str:
+    """left-happened-strictly-before-right, sort keys + ts/seq fallback."""
+    return (
+        f"(({left}.k0 IS NOT NULL AND {right}.k0 IS NOT NULL AND "
+        f"({left}.k0 < {right}.k0 OR ({left}.k0 = {right}.k0 AND {left}.k1 < {right}.k1)))"
+        f" OR (({left}.k0 IS NULL OR {right}.k0 IS NULL) AND "
+        f"({left}._source_timestamp < {right}._source_timestamp OR "
+        f"({left}._source_timestamp = {right}._source_timestamp AND "
+        f"{left}._sequence_num < {right}._sequence_num))))"
+    )
+
+
+_DIFF_U_TEMPLATE = """
+{name} AS (
+  SELECT A.*
+  FROM {src} A LEFT JOIN {src} B
+    ON A.user_id = B._before_user_id AND {hb}
+  WHERE B._before_user_id IS NULL
+)
+"""
+
+
+def _final_state_unordered_sql() -> str:
+    return (
+        "WITH "
+        + _STAGED_U.strip()
+        + """,
+half AS (SELECT CAST((MAX(event_id) + 1) // 2 AS BIGINT) AS h FROM events),
+su0 AS (SELECT s.* FROM staged_u s, half WHERE s._sequence_num <= half.h),
+su1 AS (SELECT s.* FROM staged_u s, half WHERE s._sequence_num > half.h),
+"""
+        + _DIFF_U_TEMPLATE.format(name="du0", src="su0", hb=_hb("A", "B")).strip()
+        + ",\n"
+        + _DIFF_U_TEMPLATE.format(name="du1", src="su1", hb=_hb("A", "B")).strip()
+        + """,
+tu0 AS (
+  SELECT user_id, value, _sequence_num,
+         CASE WHEN _op = 'DELETE' THEN TRUE ELSE CAST(NULL AS BOOLEAN) END AS _is_deleted,
+         _source_timestamp, k0, k1
+  FROM du0
+),
+m AS (
+  SELECT t.user_id AS t_user_id, t.value AS t_value,
+         t._sequence_num AS t_seq, t._is_deleted AS t_del,
+         t._source_timestamp AS t_st, t.k0 AS t_k0, t.k1 AS t_k1,
+         d._op AS d_op, d.user_id AS d_user_id, d.value AS d_value,
+         d._sequence_num AS d_seq, d._source_timestamp AS d_st,
+         d.k0 AS d_k0, d.k1 AS d_k1,
+         COALESCE({_hb_td}, FALSE) AS guard
+  FROM tu0 t JOIN du1 d ON t.user_id = d._before_user_id
+),
+applied AS (
+  SELECT CASE WHEN guard THEN d_user_id ELSE t_user_id END AS user_id,
+         CASE WHEN guard THEN d_value ELSE t_value END AS value,
+         CASE WHEN guard THEN d_seq ELSE t_seq END AS _sequence_num,
+         CASE WHEN NOT guard THEN t_del
+              WHEN d_op = 'DELETE' THEN TRUE
+              ELSE CAST(NULL AS BOOLEAN) END AS _is_deleted,
+         CASE WHEN guard THEN d_st ELSE t_st END AS _source_timestamp,
+         CASE WHEN guard THEN d_k0 ELSE t_k0 END AS k0,
+         CASE WHEN guard THEN d_k1 ELSE t_k1 END AS k1
+  FROM m
+),
+kept AS (
+  SELECT t.user_id, t.value, t._sequence_num, t._is_deleted,
+         t._source_timestamp, t.k0, t.k1 FROM tu0 t
+  WHERE NOT EXISTS (SELECT 1 FROM du1 d WHERE d._before_user_id = t.user_id)
+),
+inserted AS (
+  SELECT d.user_id, d.value, d._sequence_num,
+         CASE WHEN d._op = 'DELETE' THEN TRUE ELSE CAST(NULL AS BOOLEAN) END AS _is_deleted,
+         d._source_timestamp, d.k0, d.k1
+  FROM du1 d
+  WHERE NOT EXISTS (SELECT 1 FROM tu0 t WHERE t.user_id = d._before_user_id)
+)
+SELECT user_id, value, _sequence_num, _is_deleted, _source_timestamp,
+       k0 AS sort_key_0, k1 AS sort_key_1
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM applied UNION ALL SELECT * FROM inserted)"""
+    ).replace("{_hb_td}", _hb("t", "d"))
+
+
 # shared CTE: the staged CDC derivation over `events` (dialect-neutral)
 _STAGED = """
 staged AS (
@@ -155,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_flatten": q.cdc_flatten,
         "cdc_final_state": lambda s, d: q.cdc_final_state(s, d, soft=False),
         "cdc_final_state_soft": lambda s, d: q.cdc_final_state(s, d, soft=True),
+        "cdc_final_state_unordered": q.cdc_final_state_unordered,
         "cdc_max_seq": q.cdc_max_seq,
         "cdc_replay_barrier": q.cdc_replay_barrier,
         "cdc_normalized_projection": q.cdc_normalized_projection,
@@ -176,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_final_state": _final_state_sql(False),
         "cdc_final_state_soft": _final_state_sql(True),
+        "cdc_final_state_unordered": _final_state_unordered_sql(),
         "cdc_max_seq": (
             "SELECT MAX(m) AS max_seq FROM ("
             "SELECT MAX(event_id + 1) AS m FROM events GROUP BY event_type)"

@@ -48,3 +48,17 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     s = s.str.replace(_TAG_RE, " ", regex=True)
     s = s.str.replace(_WS_RE, " ", regex=True)
     return s.str.strip()
+
+
+def extract_text_transform(staged):
+    """Staged-batch row transform for ``EventConsumer(row_transform=...)``:
+    fill the ``text`` column from ``html`` (rows with no html keep their
+    text — e.g. DELETE events whose row image is in ``_before_*``)."""
+    from pyspark.sql import functions as F
+
+    return staged.withColumn(
+        "text",
+        F.when(F.col("html").isNotNull(), extract_text_udf(F.col("html"))).otherwise(
+            F.col("text")
+        ),
+    )

@@ -82,6 +82,81 @@ def cdc_final_state(spark: SparkSession, sf_dir: str, soft: bool = False) -> Dat
     )
 
 
+UNORDERED_TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField(C.SEQUENCE_NUM, T.LongType(), True),
+        T.StructField(C.IS_DELETED, T.BooleanType(), True),
+        T.StructField(C.SOURCE_TIMESTAMP, T.LongType(), True),
+        T.StructField(
+            C.SORT_KEYS,
+            T.StructType(
+                [
+                    T.StructField("_key_0", T.DoubleType(), True),
+                    T.StructField("_key_1", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def staged_events_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered-source staging shape: adds ``_source_timestamp`` and a
+    two-key ``_sort`` struct (MultiGCSWriter.java:352-390 unordered
+    columns).  ``_key_0`` is NULL for ~1/13 of events to exercise the
+    reference's backward-compat (timestamp, seq) fallback comparator
+    (getOrderingCondition, BigQueryEventConsumer.java:1486-1558)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    op = F.expr(OP_CASE)
+    return ev.select(
+        op.alias(C.OPERATION),
+        (F.col("event_id") + 1).alias(C.SEQUENCE_NUM),
+        F.col("user_id"),
+        F.col("value"),
+        F.when(op != C.OP_INSERT, F.col("user_id")).alias("_before_user_id"),
+        # coarse event time: deliberate ties so the (_source_timestamp,
+        # _sequence_num) fallback tiebreak is actually exercised
+        F.floor((F.col("event_id") + 1) / 3).cast("long").alias(C.SOURCE_TIMESTAMP),
+        F.struct(
+            F.when(F.col("user_id") % 13 != 0, F.col("value")).alias("_key_0"),
+            ((F.col("event_id") + 1) % 5).alias("_key_1"),
+        ).alias(C.SORT_KEYS),
+    )
+
+
+def cdc_final_state_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7/O8/O9 Cases 2+4: two-batch replay with the unordered-source
+    sort-key ordering condition in both the flatten anti-join and the
+    merge guards (tombstone-carrying deletes, late events no-op)."""
+    staged = staged_events_unordered(spark, sf_dir)
+    half = _half_point(spark, sf_dir)
+    s0 = staged.filter(F.col(C.SEQUENCE_NUM) <= half)
+    s1 = staged.filter(F.col(C.SEQUENCE_NUM) > half)
+    empty = spark.createDataFrame([], UNORDERED_TARGET_SCHEMA)
+
+    def _apply_u(target: DataFrame, s: DataFrame) -> DataFrame:
+        diff = flatten_batch(
+            s, ["user_id"], ordering=C.UN_ORDERED, sort_key_count=2, pre_collapse=False
+        )
+        return merge_apply(
+            target, diff, ["user_id"], ordering=C.UN_ORDERED, sort_key_count=2
+        )
+
+    out = _apply_u(_apply_u(empty, s0), s1)
+    return out.select(
+        "user_id",
+        "value",
+        C.SEQUENCE_NUM,
+        C.IS_DELETED,
+        C.SOURCE_TIMESTAMP,
+        F.col(C.SORT_KEYS).getField("_key_0").alias("sort_key_0"),
+        F.col(C.SORT_KEYS).getField("_key_1").alias("sort_key_1"),
+    )
+
+
 def cdc_max_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10-O12: batched multi-table UNION-ALL max-sequence resume point
     (per-event-type frames standing in for per-table frames)."""

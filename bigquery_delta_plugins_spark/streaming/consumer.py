@@ -55,6 +55,7 @@ class EventConsumer:
         normalize_names: bool = True,
         require_manual_drops: bool = False,
         count_diff_rows: bool = True,
+        row_transform=None,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -65,6 +66,10 @@ class EventConsumer:
         self.normalize_names = normalize_names
         self.require_manual_drops = require_manual_drops
         self.count_diff_rows = count_diff_rows
+        # Optional staged-batch row transform (DataFrame -> DataFrame),
+        # e.g. vectorized html->text extraction — runs before flatten so
+        # the merged target rows carry the derived columns.
+        self.row_transform = row_transform
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------------ paths
@@ -196,6 +201,8 @@ class EventConsumer:
 
         if self.normalize_names:
             staged = normalize_columns(staged)
+        if self.row_transform is not None:
+            staged = self.row_transform(staged)
 
         last_merged = table.latest_merged_seq()
         pks = table.primary_keys
