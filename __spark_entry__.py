@@ -159,6 +159,53 @@ FROM (SELECT * FROM kept UNION ALL SELECT * FROM applied UNION ALL SELECT * FROM
     ).replace("{_hb_td}", _hb("t", "d"))
 
 
+def _schema_evolution_sql() -> str:
+    """Mid-stream ALTER add-column: t0 from the first half surfaces NULL
+    props; the second half's staged events carry events.props."""
+    return (
+        "WITH "
+        + _STAGED.strip()
+        + """,
+half AS (SELECT CAST((MAX(event_id) + 1) // 2 AS BIGINT) AS h FROM events),
+s0 AS (SELECT s.* FROM staged s, half WHERE s._sequence_num <= half.h),
+s1 AS (SELECT s.*, e.props FROM staged s JOIN events e ON s._sequence_num = e.event_id + 1, half
+       WHERE s._sequence_num > half.h),
+"""
+        + _DIFF_TEMPLATE.format(name="d0", src="s0").strip()
+        + """,
+t0 AS (
+  SELECT user_id, value, CAST(NULL AS VARCHAR) AS props, _sequence_num,
+         CAST(NULL AS BOOLEAN) AS _is_deleted
+  FROM d0 WHERE _op IN ('INSERT', 'UPDATE')
+),
+d1 AS (
+  SELECT A._op, A._sequence_num, A.user_id, A.value, A.props, A._before_user_id
+  FROM s1 A LEFT JOIN s1 B
+    ON A.user_id = B._before_user_id AND A._sequence_num < B._sequence_num
+  WHERE B._before_user_id IS NULL
+),
+applied AS (
+  SELECT d.user_id, d.value, d.props, d._sequence_num,
+         CAST(NULL AS BOOLEAN) AS _is_deleted
+  FROM t0 t JOIN d1 d ON t.user_id = d._before_user_id
+  WHERE d._op <> 'DELETE'
+),
+kept AS (
+  SELECT t.* FROM t0 t
+  WHERE NOT EXISTS (SELECT 1 FROM d1 d WHERE d._before_user_id = t.user_id)
+),
+inserted AS (
+  SELECT d.user_id, d.value, d.props, d._sequence_num,
+         CAST(NULL AS BOOLEAN) AS _is_deleted
+  FROM d1 d
+  WHERE d._op <> 'DELETE'
+    AND NOT EXISTS (SELECT 1 FROM t0 t WHERE t.user_id = d._before_user_id)
+)
+SELECT user_id, value, props, _sequence_num, _is_deleted
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM applied UNION ALL SELECT * FROM inserted)"""
+    )
+
+
 # shared CTE: the staged CDC derivation over `events` (dialect-neutral)
 _STAGED = """
 staged AS (
@@ -255,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": lambda s, d: q.cdc_final_state(s, d, soft=False),
         "cdc_final_state_soft": lambda s, d: q.cdc_final_state(s, d, soft=True),
         "cdc_final_state_unordered": q.cdc_final_state_unordered,
+        "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_max_seq": q.cdc_max_seq,
         "cdc_replay_barrier": q.cdc_replay_barrier,
         "cdc_normalized_projection": q.cdc_normalized_projection,
@@ -277,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _final_state_sql(False),
         "cdc_final_state_soft": _final_state_sql(True),
         "cdc_final_state_unordered": _final_state_unordered_sql(),
+        "cdc_schema_evolution": _schema_evolution_sql(),
         "cdc_max_seq": (
             "SELECT MAX(m) AS max_seq FROM ("
             "SELECT MAX(event_id + 1) AS m FROM events GROUP BY event_type)"

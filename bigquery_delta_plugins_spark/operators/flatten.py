@@ -121,9 +121,45 @@ def flatten_batch(
     latest_merged_seq: int | None = None,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     pre_collapse: bool = True,
+    slim_shuffle: bool = True,
 ) -> DataFrame:
-    """The diff query: flatten a staged batch to its surviving events."""
+    """The diff query: flatten a staged batch to its surviving events.
+
+    ``slim_shuffle`` (the 100 TB path, on by default): survivors are
+    decided on a PROJECTION of just the key/ordering columns — the
+    wide payload (html et al.) never enters the flatten shuffles — and
+    the winning events are then re-attached to their payloads by a
+    semi-join on ``_sequence_num`` (unique per event).  The survivor set
+    is at most one row per key, so Spark broadcasts it and the payload
+    side is never shuffled at all.  With ~KB page payloads this cuts
+    flatten shuffle bytes by orders of magnitude; on this sandbox it
+    also eliminates a measured kernel page-fault storm (memcg fault
+    contention at 32 threads from shuffling payload bytes through
+    tmpfs).
+    """
     staged = replay_filter(staged, batch_id, latest_merged_seq)
+
+    slim_cols = {C.SEQUENCE_NUM, C.OPERATION}
+    if row_id_supported:
+        slim_cols.add(C.ROW_ID)
+    else:
+        for k in primary_keys:
+            slim_cols.update((k, C.BEFORE_PREFIX + k))
+    if ordering != C.ORDERED:
+        slim_cols.update((C.SOURCE_TIMESTAMP, C.SORT_KEYS))
+    if slim_shuffle and set(staged.columns) - slim_cols:
+        slim = staged.select(*[c for c in staged.columns if c in slim_cols])
+        winners = flatten_batch(
+            slim,
+            primary_keys,
+            row_id_supported=row_id_supported,
+            ordering=ordering,
+            sort_key_count=sort_key_count,
+            salt_buckets=salt_buckets,
+            pre_collapse=pre_collapse,
+            slim_shuffle=False,
+        ).select(C.SEQUENCE_NUM)
+        return staged.join(F.broadcast(winners), C.SEQUENCE_NUM, "left_semi")
 
     if row_id_supported and ordering == C.ORDERED:
         # Kill key == group key: flattening is pure argmax per _row_id.

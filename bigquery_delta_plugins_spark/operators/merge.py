@@ -81,8 +81,25 @@ def merge_apply(
     ordering: str = C.ORDERED,
     soft_deletes: bool = False,
     sort_key_count: int = 0,
+    strategy: str = "shuffle",
 ) -> DataFrame:
-    """Return the post-merge target state (same schema as ``target``)."""
+    """Return the post-merge target state (same schema as ``target``).
+
+    ``strategy``:
+
+    - ``"shuffle"``: one full-outer join on the key — both sides shuffle.
+      Always correct; required when the diff is too large to broadcast.
+    - ``"broadcast"``: the flattened diff is at most one row per key, so
+      when it fits the broadcast budget the merge becomes two
+      broadcast-hash joins and ZERO exchanges of the (huge) target side:
+      (1) ``target LEFT OUTER broadcast(diff)`` evaluates every
+      matched/keep arm, (2) ``diff LEFT ANTI broadcast(matched keys)``
+      (matched keys come from a broadcast semi-join scan of the target,
+      bounded by |diff|) yields the not-matched arms.  At 10^10-row
+      table scale this is the difference between shuffling every touched
+      bucket per batch and shuffling nothing of the target at all.
+      Row-level semantics are identical to ``"shuffle"``.
+    """
     out_cols = target.columns
     source_cols = [
         c
@@ -119,7 +136,30 @@ def merge_apply(
             c = tc(k) == dc(C.BEFORE_PREFIX + k)
             join_cond = c if join_cond is None else join_cond & c
 
-    joined = t.join(d, join_cond, "full_outer")
+    if strategy == "broadcast":
+        # (1) every target row + its (unique-per-key) diff match
+        joined = t.join(F.broadcast(d), join_cond, "left_outer")
+        # (2) diff rows with no target partner, via broadcast key passes
+        if row_id_supported:
+            mk_cols = [C.ROW_ID]
+        else:
+            mk_cols = primary_keys
+        matched_keys = (
+            t.join(F.broadcast(d), join_cond, "left_semi")
+            .select(*mk_cols)
+            .alias("MK")
+        )
+        anti_cond = None
+        for k in mk_cols:
+            dk = C.ROW_ID if row_id_supported else C.BEFORE_PREFIX + k
+            c = F.col(f"DO.{dk}") == F.col(f"MK.{k}")
+            anti_cond = c if anti_cond is None else anti_cond & c
+        d_only = d_joinable.alias("DO").join(
+            F.broadcast(matched_keys), anti_cond, "left_anti"
+        )
+        d_keyless = d_keyless.unionByName(d_only)
+    else:
+        joined = t.join(d, join_cond, "full_outer")
 
     matched = tc(_T_MARK).isNotNull() & dc(_D_MARK).isNotNull()
     op = dc(C.OPERATION)

@@ -157,6 +157,30 @@ def cdc_final_state_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14+O20: ALTER TABLE add-nullable-column mid-stream.  The first
+    half of the stream is applied with schema (user_id, value); a DDL
+    adds ``props`` (add nullable column, BigQueryEventConsumer.java:
+    454-490); the second half carries it.  Rows last written before the
+    ALTER surface NULL for the new column — reader-side evolution,
+    exactly like the lake layer's explicit-schema reads."""
+    staged = staged_events(spark, sf_dir)
+    props = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_id") + 1).alias(C.SEQUENCE_NUM), "props"
+    )
+    half = _half_point(spark, sf_dir)
+    s0 = staged.filter(F.col(C.SEQUENCE_NUM) <= half)
+    s1 = staged.filter(F.col(C.SEQUENCE_NUM) > half).join(props, C.SEQUENCE_NUM)
+    empty = spark.createDataFrame([], TARGET_SCHEMA)
+    t0 = _apply(empty, s0, soft=False)
+    # ALTER TABLE ADD COLUMN props STRING: old rows surface NULL
+    t0_evolved = t0.withColumn("props", F.lit(None).cast("string"))
+    t1 = merge_apply(
+        t0_evolved, flatten_batch(s1, ["user_id"]), ["user_id"], soft_deletes=False
+    )
+    return t1.select("user_id", "value", "props", C.SEQUENCE_NUM, C.IS_DELETED)
+
+
 def cdc_max_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10-O12: batched multi-table UNION-ALL max-sequence resume point
     (per-event-type frames standing in for per-table frames)."""

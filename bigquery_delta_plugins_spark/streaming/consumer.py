@@ -56,6 +56,7 @@ class EventConsumer:
         require_manual_drops: bool = False,
         count_diff_rows: bool = True,
         row_transform=None,
+        broadcast_merge_max_rows: int = 2_000_000,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -66,10 +67,17 @@ class EventConsumer:
         self.normalize_names = normalize_names
         self.require_manual_drops = require_manual_drops
         self.count_diff_rows = count_diff_rows
-        # Optional staged-batch row transform (DataFrame -> DataFrame),
-        # e.g. vectorized html->text extraction — runs before flatten so
-        # the merged target rows carry the derived columns.
+        # Optional per-row column derivation (DataFrame -> DataFrame),
+        # e.g. vectorized html->text extraction.  Contract: pure function
+        # of the row that must not alter key/_op/_sequence_num columns.
+        # It runs on the flatten SURVIVORS, not the raw batch — a hot
+        # url's million updates collapse to one row before the (most
+        # expensive) transform executes.
         self.row_transform = row_transform
+        # Flattened diffs at or under this row count merge via the
+        # zero-target-shuffle broadcast strategy (operators/merge.py);
+        # larger diffs fall back to the full-outer shuffle merge.
+        self.broadcast_merge_max_rows = broadcast_merge_max_rows
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------------ paths
@@ -190,6 +198,13 @@ class EventConsumer:
         """Apply one table's staged micro-batch: replay-filter, flatten,
         merge, atomically commit.  Returns metrics/lineage for the batch."""
         t0 = time.monotonic()
+        phases: dict[str, float] = {}
+
+        def _mark(name: str, since: float) -> float:
+            now = time.monotonic()
+            phases[name] = round(now - since, 3)
+            return now
+
         table = self.table(database, table_name)
 
         # exactly-once: a batch already in the snapshot summary is replay
@@ -201,22 +216,24 @@ class EventConsumer:
 
         if self.normalize_names:
             staged = normalize_columns(staged)
-        if self.row_transform is not None:
-            staged = self.row_transform(staged)
 
         last_merged = table.latest_merged_seq()
         pks = table.primary_keys
         src = self.source
 
         # one pass over the batch: count, max seq, any-non-insert
+        tp = time.monotonic()
         agg = staged.agg(
             F.count(F.lit(1)).alias("n"),
+            F.min(C.SEQUENCE_NUM).alias("min_seq"),
             F.max(C.SEQUENCE_NUM).alias("max_seq"),
             F.sum((F.col(C.OPERATION) != C.OP_INSERT).cast("long")).alias("non_insert"),
             F.sum((F.col(C.SEQUENCE_NUM) <= F.lit(last_merged)).cast("long")).alias("replayed"),
         ).first()
+        tp = _mark("preagg", tp)
         n_events = agg["n"] or 0
         max_seq = agg["max_seq"] or last_merged
+        seq_range = [agg["min_seq"], agg["max_seq"]]
         if n_events == 0:
             return {"table": table.path, "batch_id": batch_id, "skipped": True,
                     "reason": "empty batch"}
@@ -226,11 +243,13 @@ class EventConsumer:
         if snapshot_only and table.current_snapshot()["files"] == []:
             # direct snapshot load fast path (O5): first load of a table
             # from a pure-INSERT batch skips flatten+merge entirely
+            if self.row_transform is not None:
+                staged = self.row_transform(staged)
             rows = self._staged_to_target_rows(staged, table)
             snap = table.append(rows, batch_id, max_seq=max_seq)
             return self._metrics(
                 table, batch_id, n_events, None, None, snap, t0,
-                fast_path="snapshot_append",
+                fast_path="snapshot_append", seq_range=seq_range,
             )
 
         diff = flatten_batch(
@@ -242,8 +261,13 @@ class EventConsumer:
             batch_id=batch_id,
             latest_merged_seq=last_merged,
             salt_buckets=self.salt_buckets,
-        ).persist()
+        )
+        if self.row_transform is not None:
+            diff = self.row_transform(diff)
+        diff = diff.persist()
         try:
+            n_diff = diff.count()  # materializes the cache; also picks
+            # the merge strategy (broadcast when the diff is small)
             nb = table.num_buckets
             if src.row_id_supported:
                 key_new = bucket_expr([C.ROW_ID], nb)
@@ -267,6 +291,7 @@ class EventConsumer:
                 .collect()
             )
             touched = {r["b"] for r in touched_rows}
+            tp = _mark("flatten_touched", tp)
 
             per_bucket = None
             if self.count_diff_rows:
@@ -278,6 +303,9 @@ class EventConsumer:
                 }
 
             target_part = table.read(buckets=touched)
+            strategy = (
+                "broadcast" if n_diff <= self.broadcast_merge_max_rows else "shuffle"
+            )
             new_rows = merge_apply(
                 target_part,
                 diff,
@@ -286,10 +314,14 @@ class EventConsumer:
                 ordering=src.ordering,
                 soft_deletes=self.soft_deletes,
                 sort_key_count=len(src.sort_key_types),
+                strategy=strategy,
             )
             snap = table.overwrite_buckets(new_rows, touched, batch_id, max_seq)
+            tp = _mark("merge_write", tp)
             return self._metrics(
-                table, batch_id, n_events, per_bucket, touched, snap, t0
+                table, batch_id, n_events, per_bucket, touched, snap, t0,
+                phases=phases, seq_range=seq_range,
+                extra={"n_diff": n_diff, "merge_strategy": strategy},
             )
         finally:
             diff.unpersist()
@@ -306,9 +338,12 @@ class EventConsumer:
         return staged.select(*cols)
 
     def _metrics(self, table, batch_id, n_events, per_bucket, touched, snap, t0,
-                 fast_path=None) -> dict:
+                 fast_path=None, phases=None, seq_range=None, extra=None) -> dict:
         wall = time.monotonic() - t0
         return {
+            **(extra or {}),
+            "phases": phases,
+            "seq_range": seq_range,
             "table": table.path,
             "batch_id": batch_id,
             "skipped": snap is None,

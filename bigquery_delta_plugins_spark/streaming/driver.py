@@ -73,14 +73,9 @@ def apply_batch_df(
     """Apply one micro-batch DataFrame and record lineage."""
     m = consumer.apply_batch(database, table, batch_df, batch_id)
     if checkpoint_dir:
-        seq_rng = None
-        if not m.get("skipped"):
-            # offset range for the lineage record
-            row = batch_df.selectExpr(
-                f"min({C.SEQUENCE_NUM}) as lo", f"max({C.SEQUENCE_NUM}) as hi"
-            ).first()
-            seq_rng = [row["lo"], row["hi"]]
-        _append_lineage(checkpoint_dir, {**m, "seq_range": seq_rng})
+        # offset range comes from the consumer's single pre-aggregation
+        # pass — no extra job per batch
+        _append_lineage(checkpoint_dir, m)
     return m
 
 

@@ -4,6 +4,7 @@ insert -> PK-moving update -> delete end state
 (:528-543,750-785), and the unordered-source sort-key trio
 (BigQueryConsumerUnorderedSourceTest.java:154-530)."""
 
+import pytest
 from pyspark.sql import types as T
 
 from bigquery_delta_plugins_spark import constants as C
@@ -36,11 +37,18 @@ def empty_target(spark):
     return spark.createDataFrame([], TARGET)
 
 
-def apply_batch(spark, target, rows, batch=1, soft=False, last_seq=0):
+@pytest.fixture(params=["shuffle", "broadcast"])
+def strategy(request):
+    """Every merge semantics test runs under BOTH physical strategies —
+    the broadcast (zero-target-shuffle) plan must be row-identical."""
+    return request.param
+
+
+def apply_batch(spark, target, rows, batch=1, soft=False, last_seq=0, strategy="shuffle"):
     diff = flatten_batch(
         staged(spark, rows, batch), ["id"], batch_id=batch, latest_merged_seq=last_seq
     )
-    return merge_apply(target, diff, ["id"], soft_deletes=soft)
+    return merge_apply(target, diff, ["id"], soft_deletes=soft, strategy=strategy)
 
 
 def state(df):
@@ -49,31 +57,31 @@ def state(df):
     }
 
 
-def test_insert_update_pk_delete_end_state(spark):
+def test_insert_update_pk_delete_end_state(spark, strategy):
     # Mirrors insertUpdateDelete: insert alice(0)+bob(1); update moves
     # alice 0 -> 2; delete removes bob.
     t0 = empty_target(spark)
     t1 = apply_batch(spark, t0, [
         (1, "INSERT", None, None, 0, "alice"),
         (2, "INSERT", None, None, 1, "bob"),
-    ])
+    ], strategy=strategy)
     assert state(t1) == {(0, "alice", 1, None), (1, "bob", 2, None)}
 
     t2 = apply_batch(spark, t1, [
         (3, "UPDATE", 0, "alice", 2, "alice"),
         (4, "DELETE", 1, "bob", 1, "bob"),
-    ], batch=2, last_seq=2)
+    ], batch=2, last_seq=2, strategy=strategy)
     assert state(t2) == {(2, "alice", 3, None)}
 
 
-def test_soft_delete_keeps_tombstone(spark):
+def test_soft_delete_keeps_tombstone(spark, strategy):
     t1 = apply_batch(spark, empty_target(spark), [
         (1, "INSERT", None, None, 0, "alice"),
         (2, "INSERT", None, None, 1, "bob"),
-    ], soft=True)
+    ], soft=True, strategy=strategy)
     t2 = apply_batch(spark, t1, [
         (3, "DELETE", 1, "bob", 1, "bob"),
-    ], batch=2, soft=True, last_seq=2)
+    ], batch=2, soft=True, last_seq=2, strategy=strategy)
     # soft delete: only _is_deleted flips; other columns (incl. seq) keep
     # their old values — reference deleteOperation sets just the flag.
     assert state(t2) == {(0, "alice", 1, None), (1, "bob", 2, True)}
@@ -81,33 +89,33 @@ def test_soft_delete_keeps_tombstone(spark):
     # tombstoned rows are shielded from further matched arms
     t3 = apply_batch(spark, t2, [
         (4, "UPDATE", 1, "bob", 1, "bob2"),
-    ], batch=3, soft=True, last_seq=3)
+    ], batch=3, soft=True, last_seq=3, strategy=strategy)
     assert state(t3) == {(0, "alice", 1, None), (1, "bob", 2, True)}
 
 
-def test_update_of_missing_row_inserts(spark):
+def test_update_of_missing_row_inserts(spark, strategy):
     # NOT MATCHED + UPDATE -> INSERT arm (snapshot-resume semantics).
     t1 = apply_batch(spark, empty_target(spark), [
         (1, "UPDATE", 5, "old", 5, "new"),
-    ])
+    ], strategy=strategy)
     assert state(t1) == {(5, "new", 1, None)}
 
 
-def test_delete_of_missing_row_is_noop_when_ordered(spark):
+def test_delete_of_missing_row_is_noop_when_ordered(spark, strategy):
     t1 = apply_batch(spark, empty_target(spark), [
         (1, "DELETE", 9, "gone", 9, "gone"),
-    ])
+    ], strategy=strategy)
     assert state(t1) == set()
 
 
-def test_replayed_batch_is_idempotent(spark):
+def test_replayed_batch_is_idempotent(spark, strategy):
     rows = [
         (1, "INSERT", None, None, 0, "alice"),
         (2, "INSERT", None, None, 1, "bob"),
     ]
-    t1 = apply_batch(spark, empty_target(spark), rows)
+    t1 = apply_batch(spark, empty_target(spark), rows, strategy=strategy)
     # replay the same batch with the seq barrier advanced: no-op
-    t2 = apply_batch(spark, t1, rows, last_seq=2)
+    t2 = apply_batch(spark, t1, rows, last_seq=2, strategy=strategy)
     assert state(t2) == state(t1)
 
 
@@ -136,14 +144,15 @@ def u_staged(spark, rows, batch=1):
     return spark.createDataFrame(data, U_STAGING)
 
 
-def u_apply(spark, target, rows, batch=1, last_seq=0):
+def u_apply(spark, target, rows, batch=1, last_seq=0, strategy="shuffle"):
     diff = flatten_batch(
         u_staged(spark, rows, batch), ["id"],
         ordering=C.UN_ORDERED, sort_key_count=3,
         batch_id=batch, latest_merged_seq=last_seq,
     )
     return merge_apply(
-        target, diff, ["id"], ordering=C.UN_ORDERED, sort_key_count=3
+        target, diff, ["id"], ordering=C.UN_ORDERED, sort_key_count=3,
+        strategy=strategy,
     )
 
 
@@ -155,14 +164,14 @@ def u_state(df):
     }
 
 
-def test_unordered_trio(spark):
+def test_unordered_trio(spark, strategy):
     t0 = spark.createDataFrame([], U_TARGET)
     # insert lands; newer delete wins as tombstone over older update
     t1 = u_apply(spark, t0, [
         (1, 100, (10, 0, "a"), "INSERT", None, None, 1, "v1"),
         (2, 100, (30, 0, "a"), "DELETE", 1, "v1", 1, "v1"),
         (3, 100, (20, 0, "a"), "UPDATE", 1, "v1", 1, "v2"),
-    ])
+    ], strategy=strategy)
     # within-batch flatten: update(20) killed by delete(30); insert(10)
     # killed by delete via before-key; delete not matched -> tombstone insert
     assert u_state(t1) == {(1, "v1", 2, True, (30, 0, "a"))}
@@ -170,11 +179,11 @@ def test_unordered_trio(spark):
     # late update (sort key 25 < 30) against the tombstone is ignored
     t2 = u_apply(spark, t1, [
         (4, 100, (25, 0, "a"), "UPDATE", 1, "v1", 1, "v3"),
-    ], batch=2, last_seq=3)
+    ], batch=2, last_seq=3, strategy=strategy)
     assert u_state(t2) == {(1, "v1", 2, True, (30, 0, "a"))}
 
     # genuinely newer update (35) revives the row and resets _is_deleted
     t3 = u_apply(spark, t2, [
         (5, 100, (35, 0, "a"), "UPDATE", 1, "v1", 1, "v4"),
-    ], batch=3, last_seq=4)
+    ], batch=3, last_seq=4, strategy=strategy)
     assert u_state(t3) == {(1, "v4", 5, None, (35, 0, "a"))}
