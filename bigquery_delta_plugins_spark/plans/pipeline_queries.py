@@ -214,8 +214,8 @@ def _sql_fingerprint() -> str:
     h = _H32.format(x="t[i]")
     return f"""WITH {_TOKS}
 SELECT doc_id, len(t) AS n_tokens,
-  list_aggregate(list_transform(range(1, len(t) + 1),
-    i -> ({h} % {TX.FINGERPRINT_MOD}) * i), 'sum') AS fingerprint
+  CAST(list_aggregate(list_transform(range(1, len(t) + 1),
+    i -> ({h} % {TX.FINGERPRINT_MOD}) * i), 'sum') AS BIGINT) AS fingerprint
 FROM toks"""
 
 
@@ -373,8 +373,8 @@ def _sql_multimodal() -> str:
     return """SELECT doc_id,
   strlen(text) AS n_bytes,
   lower(hex(substr(text, 1, 8))) AS header_hex,
-  list_aggregate(list_transform(range(1, strlen(text) + 1),
-    i -> ord(substr(text, i, 1))), 'sum') % 2147483648 AS byte_sum,
+  CAST(list_aggregate(list_transform(range(1, strlen(text) + 1),
+    i -> ord(substr(text, i, 1))), 'sum') % 2147483648 AS BIGINT) AS byte_sum,
   len(list_filter(range(1, strlen(text) + 1),
     i -> ord(substr(text, i, 1)) >= 128)) = 0 AS is_ascii
 FROM documents"""
