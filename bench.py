@@ -29,8 +29,12 @@ CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "200000"))
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
 
+    # Pinned heap: G1 commit/uncommit churn causes kernel page-fault
+    # storms at high thread counts on this box (see BENCH/BASELINE.md).
+    os.environ.setdefault("SPARK_SUBMIT_OPTS", "-Xms8g -XX:+AlwaysPreTouch")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.local.dir", "/dev/shm/bdps-spark-tmp")
         .appName(f"bdps-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")

@@ -41,23 +41,29 @@ def plane_signs(planes: int, dim: int) -> list[list[int]]:
     ]
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Index-ordered left-fold double dot product."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Index-ordered left-fold double dot product.
+
+    (A static ``((0+p0)+p1)+...`` expansion via ``dim`` was measured
+    SLOWER: 64+-term expressions blow past JVM/codegen method limits and
+    fall back to interpreted evaluation.  Keep the fold.)"""
+    del dim  # see docstring — static expansion measured slower
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """dot / ||a|| / ||b|| — the exact division order the oracle uses."""
     return dot(a, b) / norm(a) / norm(b)
 
 
 def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.4
+    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
@@ -67,19 +73,19 @@ def cosine_pairs(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        norm(F.col(vec_col)).alias("na"),
+        norm(F.col(vec_col), dim).alias("na"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        norm(F.col(vec_col)).alias("nb"),
+        norm(F.col(vec_col), dim).alias("nb"),
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            (dot(F.col("va"), F.col("vb")) / F.col("na") / F.col("nb")).alias(
+            (dot(F.col("va"), F.col("vb"), dim) / F.col("na") / F.col("nb")).alias(
                 "cosine"
             ),
         )
@@ -105,6 +111,7 @@ def ann_bruteforce_topk(
     vec_col: str,
     *,
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self excluded).  The
     query side is broadcast — the corpus is scanned exactly once and
@@ -112,17 +119,17 @@ def ann_bruteforce_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qn"),
+        norm(F.col(vec_col), dim).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
+        norm(F.col(vec_col), dim).alias("cn"),
     )
     joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / F.col("qn") / F.col("cn")).alias("cosine"),
+        (dot(F.col("qv"), F.col("cv"), dim) / F.col("qn") / F.col("cn")).alias("cosine"),
     )
     return _topk(joined, k)
 
@@ -158,13 +165,13 @@ def ann_lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qn"),
+        norm(F.col(vec_col), dim).alias("qn"),
         lsh_bucket(F.col(vec_col), signs).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
+        norm(F.col(vec_col), dim).alias("cn"),
         lsh_bucket(F.col(vec_col), signs).alias("bucket"),
     )
     joined = (
@@ -173,7 +180,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / F.col("qn") / F.col("cn")).alias(
+            (dot(F.col("qv"), F.col("cv"), dim) / F.col("qn") / F.col("cn")).alias(
                 "cosine"
             ),
         )

@@ -115,14 +115,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_pairs(
-        _embs(spark, sf_dir), "vec_id", "embedding", threshold=COSINE_THRESHOLD
+        _embs(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        threshold=COSINE_THRESHOLD,
+        dim=EMBED_DIM,
     )
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     return SIM.ann_bruteforce_topk(
-        e, e.filter(F.col("vec_id") < ANN_N_QUERIES), "vec_id", "embedding", k=ANN_K
+        e,
+        e.filter(F.col("vec_id") < ANN_N_QUERIES),
+        "vec_id",
+        "embedding",
+        k=ANN_K,
+        dim=EMBED_DIM,
     )
 
 
