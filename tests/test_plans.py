@@ -1,0 +1,76 @@
+"""Physical-plan shape assertions — the 100 TB contracts:
+
+- the replay barrier reaches the parquet scan as pushed filters
+  (partition-prunable at scale);
+- slim-shuffle flatten re-attaches payloads via a BROADCAST semi join
+  (payload side never shuffles);
+- the broadcast merge plan contains no sort-merge join and no exchange
+  of the target relation.
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigquery_delta_plugins_spark import constants as C
+from bigquery_delta_plugins_spark import schemas
+from bigquery_delta_plugins_spark.operators.flatten import flatten_batch, replay_filter
+from bigquery_delta_plugins_spark.operators.merge import merge_apply
+from bigquery_delta_plugins_spark.sources.gen import synth_events
+
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_replay_barrier_pushes_down_to_parquet(spark, tmp_path):
+    p = str(tmp_path / "staged")
+    synth_events(spark, 2000, 100, batch_size=500).write.parquet(p)
+    staged = spark.read.parquet(p)
+    plan = plan_of(replay_filter(staged, batch_id=2, latest_merged_seq=900))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert "_sequence_num" in pushed[0] and "_batch_id" in pushed[0], pushed[0]
+
+
+def test_slim_flatten_broadcasts_payload_rejoin(spark, tmp_path):
+    p = str(tmp_path / "staged2")
+    synth_events(spark, 2000, 100, batch_size=2000).write.parquet(p)
+    staged = spark.read.parquet(p)
+    plan = plan_of(flatten_batch(staged, ["url"]))
+    # survivors are broadcast back onto the payload scan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_broadcast_merge_has_no_target_exchange(spark):
+    target_schema = schemas.target_schema(PAGES)
+    target = spark.createDataFrame([], target_schema)
+    staging = schemas.staging_schema(PAGES)
+    diff = spark.createDataFrame([], staging)
+    plan = plan_of(
+        merge_apply(target, diff.drop(C.BATCH_ID), ["url"], strategy="broadcast")
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_shuffle_merge_uses_key_exchange(spark):
+    target = spark.createDataFrame([], schemas.target_schema(PAGES))
+    diff = spark.createDataFrame([], schemas.staging_schema(PAGES)).drop(C.BATCH_ID)
+    plan = plan_of(merge_apply(target, diff, ["url"], strategy="shuffle"))
+    assert "FullOuter" in plan or "SortMergeJoin" in plan or "Exchange" in plan, plan
