@@ -148,6 +148,28 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- event analytics
+
+SESSION_GAP_MIN = 30
+TOPK_USERS = 10
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(
+        ev, "user_id", "ts", gap_minutes=SESSION_GAP_MIN, order_tiebreak="event_id"
+    )
+
+
+def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import topk_by_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return topk_by_count(ev, "user_id", TOPK_USERS)
+
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -378,6 +400,30 @@ r AS (SELECT *, row_number() OVER (
 SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {ANN_K}"""
 
 
+def _sql_sessionize() -> str:
+    return f"""WITH s AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL {SESSION_GAP_MIN} MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s2 AS (
+  SELECT user_id, event_id,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM s)
+SELECT user_id, session_id, count(*) AS n_events,
+  min(event_id) AS first_event_id, max(event_id) AS last_event_id
+FROM s2 GROUP BY user_id, session_id"""
+
+
+def _sql_topk_users() -> str:
+    return (
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+        f"ORDER BY n DESC, user_id ASC LIMIT {TOPK_USERS}"
+    )
+
+
 def _sql_multimodal() -> str:
     return """SELECT doc_id,
   strlen(text) AS n_bytes,
@@ -401,6 +447,8 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "multimodal_features": multimodal_features,
+    "events_sessionize": events_sessionize,
+    "events_topk_users": events_topk_users,
 }
 
 
@@ -417,4 +465,6 @@ def oracles() -> dict[str, str]:
         "ann_topk_bruteforce": _sql_ann_bruteforce(),
         "ann_topk_lsh": _sql_ann_lsh(),
         "multimodal_features": _sql_multimodal(),
+        "events_sessionize": _sql_sessionize(),
+        "events_topk_users": _sql_topk_users(),
     }

@@ -1,0 +1,86 @@
+"""Sessionization (batch windows + streaming applyInPandasWithState)
+and exact top-k."""
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import types as T
+
+from bigquery_delta_plugins_spark.operators.sessionize import (
+    sessionize,
+    sessionize_stream,
+    topk_by_count,
+)
+
+SCHEMA = "user_id long, ts timestamp, event_id long"
+
+
+def _ts(minutes):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+def _events(spark):
+    rows = [
+        # user 1: two sessions (gap 45 > 30 between minute 20 and 65)
+        (1, _ts(0), 1), (1, _ts(10), 2), (1, _ts(20), 3),
+        (1, _ts(65), 4), (1, _ts(70), 5),
+        # user 2: one session
+        (2, _ts(5), 6), (2, _ts(25), 7),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_sessionize_batch(spark):
+    out = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["first_event_id"], r["last_event_id"]
+        )
+        for r in sessionize(
+            _events(spark), "user_id", "ts", gap_minutes=30, order_tiebreak="event_id"
+        ).collect()
+    }
+    assert out == {
+        (1, 1): (3, 1, 3),
+        (1, 2): (2, 4, 5),
+        (2, 1): (2, 6, 7),
+    }
+
+
+def test_topk_by_count(spark):
+    out = [(r["user_id"], r["n"]) for r in topk_by_count(_events(spark), "user_id", 1).collect()]
+    assert out == [(1, 5)]
+
+
+def test_sessionize_stream_closes_gap_sessions(spark, tmp_path):
+    events_dir = str(tmp_path / "ev")
+    # file 1: first session of user 1 + start of session 2
+    _events(spark).coalesce(1).write.mode("append").parquet(events_dir)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    sessions = sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    time.sleep(0.2)
+    got = {
+        (r["key"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # user 1's FIRST session closed (in-data gap of 45 min); the still-open
+    # sessions (user1 s2, user2 s1) are retained as state, not emitted
+    assert (1, 3) in got
+    assert (1, 2) not in got
