@@ -410,7 +410,8 @@ def _sql_sessionize() -> str:
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s2 AS (
   SELECT user_id, event_id,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+      AS session_id
   FROM s)
 SELECT user_id, session_id, count(*) AS n_events,
   min(event_id) AS first_event_id, max(event_id) AS last_event_id
