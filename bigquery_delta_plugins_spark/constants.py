@@ -13,6 +13,11 @@ BATCH_ID = "_batch_id"
 SORT_KEYS = "_sort"
 SORT_KEY_FIELD = "_key"
 BEFORE_PREFIX = "_before_"
+# Optional staging column marking initial-snapshot events; the consumer
+# direct-loads the snapshot portion of a batch and merges the rest,
+# mirroring the reference's SNAPSHOT/STREAMING blob split
+# (MultiGCSWriter.java:73-76, BigQueryEventConsumer.java:697-753).
+SNAPSHOT = "_snapshot"
 
 # DML operation values carried in the _op column
 OP_INSERT = "INSERT"

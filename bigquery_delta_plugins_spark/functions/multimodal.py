@@ -64,23 +64,24 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            header = payloads.map(lambda b: bytes(b[:8]).hex())
-            byte_sum = payloads.map(
-                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) % 2_147_483_648
-            )
-            is_ascii = payloads.map(
-                lambda b: bool((np.frombuffer(b, dtype=np.uint8) < 128).all())
-                if len(b)
-                else True
-            )
+            n = len(payloads)
+            # One flat uint8 buffer for the WHOLE Arrow batch: per-doc
+            # sums/flags come from np.bincount over a doc-index vector —
+            # no per-row Python in the O(total bytes) work.  (The 8-byte
+            # header is the only per-row residue and is O(8) each.)
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            doc_idx = np.repeat(np.arange(n), lens)
+            sums = np.bincount(doc_idx, weights=buf, minlength=n)
+            non_ascii = np.bincount(doc_idx, weights=buf >= 128, minlength=n)
+            header = [bytes(b[:8]).hex() for b in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": n_bytes,
+                    "n_bytes": lens,
                     "header_hex": header,
-                    "byte_sum": byte_sum,
-                    "is_ascii": is_ascii,
+                    "byte_sum": sums.astype(np.int64) % 2_147_483_648,
+                    "is_ascii": non_ascii == 0,
                 }
             )
 

@@ -193,23 +193,31 @@ class LakeTable:
 
     # -- write ----------------------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame, schema: T.StructType) -> list[dict]:
+    def _write_data_files(
+        self, df: DataFrame, schema: T.StructType, repartition: bool = True
+    ) -> list[dict]:
         """Write rows into bucket-partitioned parquet files; returns
         manifest entries.  Rows are routed by xxhash64(pk) % num_buckets
-        and each bucket lands in its own directory partition."""
+        and each bucket lands in its own directory partition.
+
+        ``repartition=False`` skips the pre-write exchange: each input
+        task writes its own rows per bucket directly.  The merge path
+        uses this — its input partitioning is already bucket-aligned
+        (the target scan reads per-bucket files and the broadcast join
+        is narrow), so the repartition would re-shuffle every payload
+        byte of every touched bucket per batch for nothing.  Bulk
+        appends keep the exchange so a snapshot load lands as one file
+        per bucket."""
         snap = self.current_snapshot()
         pks = snap["properties"]["primary_keys"]
         nb = snap["properties"]["num_buckets"]
         out_rel = os.path.join(_DATA_DIR, f"w-{uuid.uuid4().hex}")
         out_abs = os.path.join(self.path, out_rel)
         cols = [f.name for f in schema.fields]
-        (
-            df.select(*cols)
-            .withColumn("__bucket", bucket_expr(pks, nb))
-            .repartition(F.col("__bucket"))
-            .write.partitionBy("__bucket")
-            .parquet(out_abs)
-        )
+        bucketed = df.select(*cols).withColumn("__bucket", bucket_expr(pks, nb))
+        if repartition:
+            bucketed = bucketed.repartition(F.col("__bucket"))
+        bucketed.write.partitionBy("__bucket").parquet(out_abs)
         entries = []
         for root, _dirs, names in os.walk(out_abs):
             for n in names:
@@ -223,21 +231,62 @@ class LakeTable:
                     )
         return entries
 
-    def append(self, df: DataFrame, batch_id: int, max_seq: int | None = None) -> dict | None:
+    def direct_load_in_progress(self) -> int | None:
+        """Batch id of a half-finished direct load, if any — the analogue
+        of the reference's ``bigquery-direct-load-in-progress`` state flag
+        (BigQueryEventConsumer.java:167,392-399)."""
+        return self.current_snapshot()["summary"].get("direct_load_in_progress")
+
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        max_seq: int | None = None,
+        advance_batch: bool = True,
+    ) -> dict | None:
         """Direct snapshot load — the reference's snapshot-only fast path
         that skips staging+merge (directLoadToTarget,
-        BigQueryEventConsumer.java:697-753).  Idempotent per batch_id."""
+        BigQueryEventConsumer.java:697-753).  Idempotent per batch_id.
+
+        ``advance_batch=False`` is the mixed-batch two-phase form: the
+        snapshot portion lands and ``latest_merged_seq`` advances (so a
+        crash-replay's barrier drops the already-loaded events, the
+        reference's O26 semantics) but ``latest_batch_id`` is only
+        advanced by the batch's FINAL commit (merge or noop); a
+        ``direct_load_in_progress`` flag marks the window in between —
+        CREATE_TABLE replay over that flag drops the half-loaded table
+        (O29, BigQueryEventConsumer.java:392-399)."""
         snap = self.current_snapshot()
         if batch_id <= snap["summary"].get("latest_batch_id", -1):
             return None
         schema = T.StructType.fromJson(snap["schema"])
         new_files = self._write_data_files(df, schema)
         summary = dict(snap["summary"])
-        summary["latest_batch_id"] = batch_id
+        if advance_batch:
+            summary["latest_batch_id"] = batch_id
+            summary.pop("direct_load_in_progress", None)
+        else:
+            summary["direct_load_in_progress"] = batch_id
         if max_seq is not None:
             summary["latest_merged_seq"] = max(summary.get("latest_merged_seq", 0), max_seq)
         return self._write_snapshot(
             snap, snap["schema"], snap["files"] + new_files, summary, snap["properties"]
+        )
+
+    def commit_noop(self, batch_id: int, max_seq: int | None = None) -> dict | None:
+        """Advance batch/sequence bookkeeping without touching data —
+        the final commit for a batch whose merge had nothing to do
+        (fully replayed, or snapshot-only after a two-phase append)."""
+        snap = self.current_snapshot()
+        if batch_id <= snap["summary"].get("latest_batch_id", -1):
+            return None
+        summary = dict(snap["summary"])
+        summary["latest_batch_id"] = batch_id
+        summary.pop("direct_load_in_progress", None)
+        if max_seq is not None:
+            summary["latest_merged_seq"] = max(summary.get("latest_merged_seq", 0), max_seq)
+        return self._write_snapshot(
+            snap, snap["schema"], snap["files"], summary, snap["properties"]
         )
 
     def overwrite_buckets(
@@ -254,10 +303,11 @@ class LakeTable:
         if batch_id <= snap["summary"].get("latest_batch_id", -1):
             return None
         schema = T.StructType.fromJson(snap["schema"])
-        new_files = self._write_data_files(new_rows, schema)
+        new_files = self._write_data_files(new_rows, schema, repartition=False)
         kept = [f for f in snap["files"] if f["bucket"] not in touched]
         summary = dict(snap["summary"])
         summary["latest_batch_id"] = batch_id
+        summary.pop("direct_load_in_progress", None)
         summary["latest_merged_seq"] = max(summary.get("latest_merged_seq", 0), max_seq)
         return self._write_snapshot(
             snap, snap["schema"], kept + new_files, summary, snap["properties"]

@@ -122,6 +122,7 @@ def flatten_batch(
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     pre_collapse: bool = True,
     slim_shuffle: bool = True,
+    broadcast_winners: bool = True,
 ) -> DataFrame:
     """The diff query: flatten a staged batch to its surviving events.
 
@@ -136,6 +137,16 @@ def flatten_batch(
     also eliminates a measured kernel page-fault storm (memcg fault
     contention at 32 threads from shuffling payload bytes through
     tmpfs).
+
+    ``broadcast_winners``: the re-attach semi-join broadcasts the winner
+    ``_sequence_num`` set by default — one long per surviving key.  For
+    micro-batches whose distinct-key count is large enough that even
+    that set threatens the broadcast budget (tens of millions of keys ≈
+    hundreds of MB), pass ``False``: the semi-join becomes a plain
+    shuffled join that AQE still converts to broadcast at runtime when
+    the winner side turns out small, and degrades to a shuffle (of the
+    slim winner set AND the payload side) instead of an OOM when it
+    doesn't.
     """
     staged = replay_filter(staged, batch_id, latest_merged_seq)
 
@@ -159,7 +170,9 @@ def flatten_batch(
             pre_collapse=pre_collapse,
             slim_shuffle=False,
         ).select(C.SEQUENCE_NUM)
-        return staged.join(F.broadcast(winners), C.SEQUENCE_NUM, "left_semi")
+        if broadcast_winners:
+            winners = F.broadcast(winners)
+        return staged.join(winners, C.SEQUENCE_NUM, "left_semi")
 
     if row_id_supported and ordering == C.ORDERED:
         # Kill key == group key: flattening is pure argmax per _row_id.

@@ -104,8 +104,13 @@ def sessionize_stream(
             return
         closed = []
         n, s, e = state.get if state.exists else (0, None, None)
-        for pdf in pdf_iter:
-            ms = (pdf[ts_col].astype("int64") // 1_000_000).sort_values()
+        # A hot key's batch arrives as MULTIPLE pandas chunks (split at
+        # arrow.maxRecordsPerBatch); sorting per chunk would process
+        # events out of global order and spuriously split sessions, so
+        # concatenate every chunk for the key before the single sort.
+        chunks = [pdf[ts_col] for pdf in pdf_iter]
+        if chunks:
+            ms = (pd.concat(chunks).astype("int64") // 1_000_000).sort_values()
             for t in ms:
                 t = int(t)
                 if s is None:

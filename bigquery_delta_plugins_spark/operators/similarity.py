@@ -93,6 +93,53 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.4,
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH-banded cosine near-dup pairs — the scale path.
+
+    Candidate pairs are restricted to vectors sharing a sign-LSH bucket
+    (``planes`` hyperplanes -> 2^planes buckets), so the compare count
+    is sum over buckets of |bucket|^2/2 instead of n^2/2 — an equi-join
+    Catalyst shuffles by bucket (AQE splits a skewed bucket).  Exact
+    cosine within the bucket; recall < 1 by construction (a near-dup
+    pair split by a hyperplane is missed) — audit with ``cosine_pairs``
+    on a sample, exactly like ann_lsh_topk vs ann_bruteforce_topk."""
+    signs = plane_signs(planes, dim)
+    proj = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col), dim).alias("nrm"),
+        lsh_bucket(F.col(vec_col), signs).alias("bucket"),
+    )
+    a = proj.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = proj.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb"), dim) / F.col("na") / F.col("nb")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _topk(joined: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -22,10 +22,17 @@ from ..operators import similarity as SIM
 # Tunables shared between the Spark plans and the SQL oracles.
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
+# Stop-shingle document-frequency cap for the exhaustive Jaccard query —
+# without it the hottest shingle's inverted-index self-join is quadratic
+# on one reducer (the 100 TB blow-up; see operators/dedup.py docstring).
+JACCARD_MAX_DF = 64
 MINHASH_NUM = 8
 MINHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 2
 COSINE_THRESHOLD = 0.4
+# Sign-LSH bands for the near-dup pair query: 2^4 = 16 buckets — the
+# O(n^2) cartesian becomes a bucket equi-join (exact within a bucket).
+NEARDUP_PLANES = 4
 ANN_K = 5
 ANN_N_QUERIES = 8
 ANN_PLANES = 8
@@ -83,7 +90,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", k=SHINGLE_K, threshold=JACCARD_THRESHOLD
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=SHINGLE_K,
+        threshold=JACCARD_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
     )
 
 
@@ -114,11 +126,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.cosine_pairs(
+    """Sign-LSH-banded near-dup pairs (exact cosine within a bucket).
+    The exact all-pairs baseline stays available as
+    ``SIM.cosine_pairs`` for sampled audits; as a headline query the
+    banded plan replaces the O(n^2) BroadcastNestedLoopJoin."""
+    return SIM.cosine_pairs_banded(
         _embs(spark, sf_dir),
         "vec_id",
         "embedding",
         threshold=COSINE_THRESHOLD,
+        planes=NEARDUP_PLANES,
         dim=EMBED_DIM,
     )
 
@@ -197,9 +214,9 @@ def _shingles_cte(k: int) -> str:
     )
 
 
-def _jaccard_tail(threshold: float, extra_cols: str = "") -> str:
+def _jaccard_tail(threshold: float, extra_cols: str = "", src: str = "sh") -> str:
     return (
-        "cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id)\n"
+        f"cnt AS (SELECT id, count(*) AS n FROM {src} GROUP BY id)\n"
         "SELECT c.id_a, c.id_b"
         + extra_cols
         + ", c.c / (ca.n + cb.n - c.c) AS jaccard\n"
@@ -258,13 +275,18 @@ def _sql_dedup_exact() -> str:
 
 
 def _sql_dedup_jaccard() -> str:
+    # shf = shingle index minus stop-shingles (document frequency over
+    # JACCARD_MAX_DF) — the same guard the Spark plan applies, so the
+    # per-doc counts and intersections stay bit-identical.
     return f"""WITH {_TOKS},
 {_shingles_cte(SHINGLE_K)},
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {JACCARD_MAX_DF}),
+shf AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
 common AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2),
-{_jaccard_tail(JACCARD_THRESHOLD)}"""
+{_jaccard_tail(JACCARD_THRESHOLD, src="shf")}"""
 
 
 def _sql_dedup_minhash() -> str:
@@ -356,10 +378,21 @@ def _cos_sql(a: str, b: str, n: str = "len({a})") -> str:
 
 
 def _sql_embed_neardup() -> str:
+    # Mirrors the banded Spark plan: same md5-derived hyperplane signs,
+    # same bucket assignment, exact cosine within a bucket.
+    signs = SIM.plane_signs(NEARDUP_PLANES, EMBED_DIM)
+    terms = []
+    for p, row in enumerate(signs):
+        arr = "[" + ", ".join(f"{float(s)}" for s in row) + "]"
+        d = _DOT.format(a=arr, b="embedding", n=str(EMBED_DIM))
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(terms)
     cos = _cos_sql("a.embedding", "b.embedding")
-    return f"""WITH p AS (
+    return f"""WITH v AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}"""
 
 
@@ -426,11 +459,16 @@ def _sql_topk_users() -> str:
 
 
 def _sql_multimodal() -> str:
+    # NOTE: this oracle uses character functions (substr/ord return
+    # codepoints, strlen counts bytes); it equals the engine's BYTE
+    # features only because the generated documents corpus is pure ASCII
+    # (asserted in tests/test_pipeline_ops.py).  COALESCE covers the
+    # empty-document case where list_aggregate yields NULL vs Spark's 0.
     return """SELECT doc_id,
   strlen(text) AS n_bytes,
   lower(hex(substr(text, 1, 8))) AS header_hex,
-  CAST(list_aggregate(list_transform(range(1, strlen(text) + 1),
-    i -> ord(substr(text, i, 1))), 'sum') % 2147483648 AS BIGINT) AS byte_sum,
+  CAST(COALESCE(list_aggregate(list_transform(range(1, strlen(text) + 1),
+    i -> ord(substr(text, i, 1))), 'sum'), 0) % 2147483648 AS BIGINT) AS byte_sum,
   len(list_filter(range(1, strlen(text) + 1),
     i -> ord(substr(text, i, 1)) >= 128)) = 0 AS is_ascii
 FROM documents"""
