@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": lambda s, d: q.cdc_final_state(s, d, soft=False),
         "cdc_final_state_soft": lambda s, d: q.cdc_final_state(s, d, soft=True),
         "cdc_final_state_unordered": q.cdc_final_state_unordered,
+        "cdc_multi_table_final_state": q.cdc_multi_table_final_state,
         "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_max_seq": q.cdc_max_seq,
         "cdc_replay_barrier": q.cdc_replay_barrier,
@@ -324,6 +325,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_final_state": _final_state_sql(False),
         "cdc_final_state_soft": _final_state_sql(True),
+        # the key space partitions across tables by user_id % 3, so the
+        # multi-table consumer replay equals the single-table final
+        # state tagged with its table name (see cdc_queries docstring)
+        "cdc_multi_table_final_state": (
+            "SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS table_name, "
+            "user_id, value, _sequence_num, _is_deleted "
+            f"FROM ({_final_state_sql(False)})"
+        ),
         "cdc_final_state_unordered": _final_state_unordered_sql(),
         "cdc_schema_evolution": _schema_evolution_sql(),
         "cdc_max_seq": (

@@ -45,6 +45,30 @@ _CURRENT = "_current"
 _DATA_DIR = "data"
 
 
+def parquet_files_max_long(paths: list[str], column: str) -> int | None:
+    """Max of a long column across parquet files, from FOOTER statistics
+    only — a driver-side metadata read, no Spark job.  Used by the
+    single-job apply mode to resolve ``latest_merged_seq`` from the
+    files the merge just wrote."""
+    import pyarrow.parquet as pq
+
+    mx = None
+    for p in paths:
+        md = pq.read_metadata(p)
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            idx = names.index(column)
+        except ValueError:
+            continue
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None  # stats disabled — caller must fall back
+            v = st.max
+            mx = v if mx is None else max(mx, v)
+    return mx
+
+
 def bucket_expr(cols: list[str], num_buckets: int, prefix: str = ""):
     """Deterministic bucket id for a key; same function routes target
     rows and diff rows so co-location is stable across snapshots."""
@@ -52,6 +76,14 @@ def bucket_expr(cols: list[str], num_buckets: int, prefix: str = ""):
 
 
 class LakeTable:
+    # Pre-write exchange for merge commits (see _write_data_files).  ON
+    # keeps exactly ~one file per bucket per commit; turning it OFF
+    # (BDPS_WRITE_REPARTITION=0) drops a full payload shuffle per batch
+    # and relies on the scan being bucket-aligned — only safe when
+    # spark.sql.files.maxPartitionBytes >= the bucket file size, else
+    # file counts compound across commits.
+    WRITE_REPARTITION = os.environ.get("BDPS_WRITE_REPARTITION", "1") != "0"
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
@@ -303,7 +335,29 @@ class LakeTable:
         if batch_id <= snap["summary"].get("latest_batch_id", -1):
             return None
         schema = T.StructType.fromJson(snap["schema"])
-        new_files = self._write_data_files(new_rows, schema, repartition=False)
+        # Default: one bounded exchange per commit so the file count
+        # stays ~one per bucket.  (Measured: skipping it naively lets
+        # the union's insert side fan 300 input partitions x 32 buckets
+        # into thousands of files at table birth, and the per-batch wall
+        # COMPOUNDS as every later scan re-groups them: 43s -> 100s ->
+        # 315s per 4M-event batch at local[2].  The exchange is parallel
+        # work that scales with cores; runaway file counts are serial
+        # poison.  WRITE_REPARTITION=0 is the measured-safe escape hatch
+        # for bucket-aligned scans — see the class attribute.)
+        new_files = self._write_data_files(
+            new_rows, schema, repartition=self.WRITE_REPARTITION
+        )
+        return self.commit_overwrite(new_files, touched, batch_id, max_seq)
+
+    def commit_overwrite(
+        self, new_files: list[dict], touched: set[int], batch_id: int, max_seq: int
+    ) -> dict | None:
+        """Manifest-only half of a copy-on-write commit — lets a caller
+        run the data-file write job first and resolve ``max_seq`` from
+        metrics observed DURING that job (the single-job apply mode)."""
+        snap = self.current_snapshot()
+        if batch_id <= snap["summary"].get("latest_batch_id", -1):
+            return None
         kept = [f for f in snap["files"] if f["bucket"] not in touched]
         summary = dict(snap["summary"])
         summary["latest_batch_id"] = batch_id
@@ -315,11 +369,20 @@ class LakeTable:
 
     # -- DDL ------------------------------------------------------------------
 
-    def alter_add_columns(self, new_schema: T.StructType) -> dict:
+    def alter_add_columns(
+        self, new_schema: T.StructType, properties: dict | None = None
+    ) -> dict:
         """ALTER TABLE: adopt a new schema (add nullable column / widen);
         existing data files stay as-is and surface NULL for new columns
-        (BigQueryEventConsumer.java:454-490)."""
+        (BigQueryEventConsumer.java:454-490).  ``properties`` overlays
+        table properties in the same snapshot (used by the late sort-key
+        upgrade to persist the sort-key types atomically with the column
+        add, the reference's putState at BigQueryEventConsumer.java:
+        1605-1613)."""
         snap = self.current_snapshot()
+        if properties:
+            snap = dict(snap)
+            snap["properties"] = {**snap["properties"], **properties}
         old_names = {f["name"] for f in snap["schema"]["fields"]}
         merged_fields = list(snap["schema"]["fields"])
         for f in json.loads(new_schema.json())["fields"]:

@@ -181,6 +181,66 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t1.select("user_id", "value", "props", C.SEQUENCE_NUM, C.IS_DELETED)
 
 
+def cdc_multi_table_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23: multi-table parallel apply through the REAL streaming
+    consumer — the staged stream carries ``(_database, _table)``
+    columns (three tables partitioned by ``user_id % 3``), each flush
+    fans one apply task per table onto a thread pool, and the final
+    state is the union of the three lake tables
+    (processBlobsInParallel, BigQueryEventConsumer.java:691-729).
+
+    Because the key space partitions cleanly across tables, the union
+    of per-table final states equals the single-table final state
+    tagged by ``user_id % 3`` — which is exactly what the DuckDB oracle
+    computes, so this checks the full consumer path (lake writes,
+    replay barriers, per-table fan-out) against reference MERGE
+    semantics."""
+    import os
+    import tempfile
+    from functools import reduce
+
+    from ..streaming.consumer import EventConsumer
+    from ..streaming.driver import run_microbatch_loop_multi
+    from ..types import DDLEvent, DDLOp
+
+    staged = staged_events(spark, sf_dir).withColumns(
+        {
+            "_database": F.lit("web"),
+            "_table": F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")),
+        }
+    )
+    half = _half_point(spark, sf_dir)
+    batches = [
+        (0, staged.filter(F.col(C.SEQUENCE_NUM) <= half)),
+        (1, staged.filter(F.col(C.SEQUENCE_NUM) > half)),
+    ]
+    src_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="bdps-multi-")
+    consumer = EventConsumer(spark, os.path.join(root, "wh"), num_buckets=4)
+    names = ["t0", "t1", "t2"]
+    for t in names:
+        consumer.apply_ddl(
+            DDLEvent(DDLOp.CREATE_TABLE, "web", t, schema=src_schema,
+                     primary_keys=["user_id"])
+        )
+    run_microbatch_loop_multi(consumer, batches, os.path.join(root, "cp"))
+    frames = [
+        consumer.table("web", t)
+        .read()
+        .select(
+            F.lit(t).alias("table_name"), "user_id", "value",
+            C.SEQUENCE_NUM, C.IS_DELETED,
+        )
+        for t in names
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 def cdc_max_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10-O12: batched multi-table UNION-ALL max-sequence resume point
     (per-event-type frames standing in for per-table frames)."""

@@ -53,12 +53,15 @@ class EventConsumer:
         num_buckets: int = 32,
         salt_buckets: int = 16,
         normalize_names: bool = True,
+        flexible_column_naming: bool = False,
         require_manual_drops: bool = False,
         count_diff_rows: bool = True,  # kept for API compat; counts are
         # now a free by-product of the single per-batch stats job
         row_transform=None,
         broadcast_merge_max_rows: int = 2_000_000,
         broadcast_merge_max_bytes: int = 512 * 1024 * 1024,
+        single_job_per_batch: bool = False,
+        single_job_merge_strategy: str = "shuffle",
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -67,6 +70,9 @@ class EventConsumer:
         self.num_buckets = num_buckets
         self.salt_buckets = salt_buckets
         self.normalize_names = normalize_names
+        # Flexible-charset column naming (BigQueryUtils.java:45-48):
+        # widens the legal field character set during normalization.
+        self.flexible_column_naming = flexible_column_naming
         self.require_manual_drops = require_manual_drops
         self.count_diff_rows = count_diff_rows
         # Optional per-row column derivation (DataFrame -> DataFrame),
@@ -85,6 +91,19 @@ class EventConsumer:
         # back to the full-outer shuffle merge.
         self.broadcast_merge_max_rows = broadcast_merge_max_rows
         self.broadcast_merge_max_bytes = broadcast_merge_max_bytes
+        # Single-job apply: skip the per-batch stats job entirely — read
+        # every bucket, merge with a FIXED strategy, and resolve
+        # latest_merged_seq from the written files' parquet footers
+        # (driver-side metadata, no job).  The right mode for high-churn
+        # tables whose batches touch most buckets anyway: it halves the
+        # per-batch serial floor, which is what bounds N->4N scaling
+        # efficiency.  Trade-offs: no bucket pruning, no adaptive
+        # broadcast gate, no O5 snapshot split (such batches fall back
+        # to the standard path), coarser lineage (no n_events/n_diff).
+        self.single_job_per_batch = single_job_per_batch
+        if single_job_merge_strategy not in ("shuffle", "broadcast"):
+            raise ValueError(single_job_merge_strategy)
+        self.single_job_merge_strategy = single_job_merge_strategy
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------------ paths
@@ -126,6 +145,15 @@ class EventConsumer:
                 ordering=self.source.ordering,
                 sort_key_types=self.source.sort_key_types or None,
             )
+            # persist sort-key types with the table so an unordered
+            # resume needs no caller-supplied SourceProperties (the
+            # reference persists BigQueryTableState via putState,
+            # BigQueryEventConsumer.java:551-552,1605-1613)
+            extra_props = {}
+            if self.source.sort_key_types:
+                extra_props["sort_key_types"] = [
+                    dt.json() for dt in self.source.sort_key_types
+                ]
             if self.normalize_names:
                 tschema = self._normalize_schema(tschema)
             # Snapshot-abandon cleanup (O29): a CREATE_TABLE replayed over
@@ -152,6 +180,7 @@ class EventConsumer:
                 [self._norm_field(k) for k in event.primary_keys],
                 num_buckets=self.num_buckets,
                 ordering=self.source.ordering,
+                properties=extra_props,
                 if_not_exists=True,
             )
         elif op == DDLOp.DROP_TABLE:
@@ -195,7 +224,9 @@ class EventConsumer:
     def _norm_field(self, name: str) -> str:
         from ..normalize import normalize_field_name
 
-        return normalize_field_name(name) if self.normalize_names else name
+        if not self.normalize_names:
+            return name
+        return normalize_field_name(name, self.flexible_column_naming)
 
     def _normalize_schema(self, schema):
         from pyspark.sql import types as T
@@ -204,7 +235,7 @@ class EventConsumer:
 
         fields = [
             T.StructField(
-                normalize_field_name(f.name)
+                normalize_field_name(f.name, self.flexible_column_naming)
                 if not f.name.startswith("_")
                 else f.name,
                 f.dataType,
@@ -247,11 +278,11 @@ class EventConsumer:
                                 reason="batch_id already committed")
 
         if self.normalize_names:
-            staged = normalize_columns(staged)
+            staged = normalize_columns(staged, self.flexible_column_naming)
 
         last_merged = table.latest_merged_seq()
         pks = table.primary_keys
-        src = self.source
+        src = self._effective_source(table)
         nb = table.num_buckets
         seqc = F.col(C.SEQUENCE_NUM)
 
@@ -304,6 +335,12 @@ class EventConsumer:
         )
         if self.row_transform is not None:
             diff = self.row_transform(diff)
+
+        if self.single_job_per_batch and not has_snap:
+            return self._apply_single_job(
+                table, diff, batch_id, last_merged, pks, src, nb, t0, phases
+            )
+
         diff = diff.persist()
         try:
             tp = time.monotonic()
@@ -355,6 +392,13 @@ class EventConsumer:
                     seq_range=seq_range, phases=phases, n_diff=0,
                 )
 
+            if src.ordering == C.UN_ORDERED and src.sort_key_types:
+                # O22: first unordered merge against a target lacking
+                # _sort appends the column (and persists the types) —
+                # addSortKeyToTargetTable, BigQueryEventConsumer.java:
+                # 1587-1613
+                self._ensure_sort_key_column(table, src)
+
             target_part = table.read(buckets=touched)
             strategy = (
                 "broadcast"
@@ -383,6 +427,232 @@ class EventConsumer:
             )
         finally:
             diff.unpersist()
+
+    # ---------------------------------------------------- single-job apply
+
+    def _apply_single_job(
+        self, table, diff, batch_id, last_merged, pks, src, nb, t0, phases
+    ) -> dict:
+        """ONE Spark job per batch: flatten + merge + write fused into
+        the data-file write; ``latest_merged_seq`` resolved afterwards
+        from the written parquet footers (driver-side metadata read).
+        See the constructor docstring for the trade-offs."""
+        from ..lake.table import parquet_files_max_long
+
+        diff = diff.persist()
+        try:
+            tp = time.monotonic()
+            if src.ordering == C.UN_ORDERED and src.sort_key_types:
+                self._ensure_sort_key_column(table, src)
+            target = table.read()
+            new_rows = merge_apply(
+                target,
+                diff,
+                pks,
+                row_id_supported=src.row_id_supported,
+                ordering=src.ordering,
+                soft_deletes=self.soft_deletes,
+                sort_key_count=len(src.sort_key_types),
+                strategy=self.single_job_merge_strategy,
+            )
+            new_files = table._write_data_files(
+                new_rows, table.schema, repartition=table.WRITE_REPARTITION
+            )
+            max_seq = parquet_files_max_long(
+                [os.path.join(table.path, f["path"]) for f in new_files],
+                C.SEQUENCE_NUM,
+            )
+            if max_seq is None:
+                # footer stats unavailable — one fallback job
+                row = self.spark.read.parquet(
+                    *[os.path.join(table.path, f["path"]) for f in new_files]
+                ).agg(F.max(C.SEQUENCE_NUM)).first() if new_files else None
+                max_seq = (row[0] if row else None) or last_merged
+            snap = table.commit_overwrite(
+                new_files, set(range(nb)), batch_id, max_seq
+            )
+            self._mark_phase(phases, "merge_write", tp)
+            return self._record(
+                table, batch_id, t0, snap=snap, phases=phases,
+                merge_strategy=self.single_job_merge_strategy,
+                fast_path="single_job",
+            )
+        finally:
+            diff.unpersist()
+
+    @staticmethod
+    def _mark_phase(phases: dict, name: str, since: float) -> None:
+        phases[name] = round(time.monotonic() - since, 3)
+
+    # ------------------------------------------- source / sort-key state
+
+    def _effective_source(self, table: LakeTable) -> SourceProperties:
+        """Resolve the source contract for a table: caller-supplied
+        SourceProperties win; otherwise ordering + sort-key types come
+        from the table properties persisted at create/upgrade time, so
+        an unordered-source resume works with a default-constructed
+        consumer (the reference loads BigQueryTableState from the state
+        store on resume, BigQueryEventConsumer.java:556-569)."""
+        from pyspark.sql import types as T
+
+        if self.source.ordering == C.UN_ORDERED or self.source.sort_key_types:
+            return self.source
+        props = table.current_snapshot()["properties"]
+        types_json = props.get("sort_key_types")
+        if props.get("ordering") == C.UN_ORDERED and types_json:
+            return SourceProperties(
+                ordering=C.UN_ORDERED,
+                row_id_supported=self.source.row_id_supported,
+                sort_key_types=[T._parse_datatype_json_string(j) for j in types_json],
+            )
+        return self.source
+
+    def _ensure_sort_key_column(self, table: LakeTable, src: SourceProperties) -> None:
+        """Append ``_sort`` to an ordered-created target before its first
+        unordered merge and persist the sort-key types/ordering in the
+        same atomic snapshot (O22)."""
+        from pyspark.sql import types as T
+
+        if any(f.name == C.SORT_KEYS for f in table.schema.fields):
+            return
+        new_schema = T.StructType(
+            list(table.schema.fields)
+            + [
+                T.StructField(
+                    C.SORT_KEYS,
+                    schemas.sort_keys_struct_type(src.sort_key_types),
+                    True,
+                )
+            ]
+        )
+        table.alter_add_columns(
+            new_schema,
+            properties={
+                "ordering": C.UN_ORDERED,
+                "sort_key_types": [dt.json() for dt in src.sort_key_types],
+            },
+        )
+
+    # ------------------------------------------- multi-table + mixed batches
+
+    def apply_multi_table_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        *,
+        database_col: str = "_database",
+        table_col: str = "_table",
+        tables: list[tuple[str, str]] | None = None,
+        max_workers: int = 4,
+    ) -> list[dict]:
+        """O23: apply one micro-batch carrying MANY tables' events.
+
+        The reference fans out one load+merge task per table blob on a
+        thread pool and aggregates errors (processBlobsInParallel,
+        BigQueryEventConsumer.java:691-729; parallel GCS close
+        MultiGCSWriter.java:131-184).  Here the batch DataFrame carries
+        ``(_database, _table)`` columns; each table's sub-batch applies
+        concurrently on a driver thread pool (Spark schedules the
+        per-table jobs in parallel — inter-table concurrency — while
+        each table's plan is itself data-parallel).  A table that fails
+        does not stop the others; errors are aggregated and re-raised
+        after every table completes, and the caller's checkpoint commit
+        happens only if nothing failed — replaying the batch is a no-op
+        for the tables that DID commit (snapshot batch-id dedup), so the
+        retry applies exactly the failed tables.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if tables is None:
+            tables = sorted(
+                (r["d"], r["t"])
+                for r in batch_df.select(
+                    F.col(database_col).alias("d"), F.col(table_col).alias("t")
+                )
+                .distinct()
+                .collect()
+            )
+
+        def one(db: str, tb: str) -> dict:
+            sub = batch_df.filter(
+                (F.col(database_col) == db) & (F.col(table_col) == tb)
+            ).drop(database_col, table_col)
+            return self.apply_batch(db, tb, sub, batch_id)
+
+        results: list[dict] = []
+        errors: list[tuple[str, str, Exception]] = []
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            futs = {ex.submit(one, db, tb): (db, tb) for db, tb in tables}
+            for fut, (db, tb) in futs.items():
+                try:
+                    results.append(fut.result())
+                except Exception as e:  # noqa: BLE001 — aggregated below
+                    errors.append((db, tb, e))
+        if errors:
+            detail = "; ".join(f"{db}.{tb}: {e}" for db, tb, e in errors)
+            raise RuntimeError(
+                f"{len(errors)}/{len(tables)} table applies failed "
+                f"(succeeded tables are committed and replay-safe): {detail}"
+            ) from errors[0][2]
+        return results
+
+    # Sub-step id stride inside one mixed batch: DML segments between DDL
+    # sequence points get lake batch ids batch_id*STRIDE + i (monotone
+    # across outer batches for any DDL count < STRIDE).
+    MIXED_BATCH_STRIDE = 1000
+
+    def apply_mixed_batch(
+        self,
+        database: str,
+        table_name: str,
+        staged: DataFrame,
+        ddl_events: list[DDLEvent],
+        batch_id: int,
+    ) -> list[dict]:
+        """Apply a micro-batch of DML rows with DDL events interleaved in
+        sequence order (O27 forced-flush path): each DDL flushes the DML
+        segment before it, then applies, exactly like the reference's
+        applyDDL → flush() ordering (BigQueryEventConsumer.java:433,457,499).
+
+        Crash safety: DML segments are idempotent via the lake batch-id
+        check; a DDL is skipped on replay when any LATER segment of this
+        batch already committed (its effects are provably included), so
+        a replayed TRUNCATE cannot wipe data applied after it.
+        """
+        ddls = sorted(ddl_events, key=lambda e: e.sequence_num)
+        if len(ddls) >= self.MIXED_BATCH_STRIDE:
+            raise ValueError("too many DDL events in one micro-batch")
+        if C.BATCH_ID in staged.columns:
+            # sub-segments get derived lake batch ids; a carried outer
+            # _batch_id column would fight the replay barrier
+            staged = staged.drop(C.BATCH_ID)
+        seq = F.col(C.SEQUENCE_NUM)
+        table_exists = os.path.exists(
+            os.path.join(self._table_path(database, table_name), "_manifests", "_current")
+        )
+        latest = (
+            self.table(database, table_name).latest_batch_id() if table_exists else -1
+        )
+        results = []
+        lo = None
+        for i, ev in enumerate(ddls):
+            sub_id = batch_id * self.MIXED_BATCH_STRIDE + i
+            seg = staged.filter(seq < F.lit(ev.sequence_num))
+            if lo is not None:
+                seg = seg.filter(seq > F.lit(lo))
+            results.append(self.apply_batch(database, table_name, seg, sub_id))
+            next_dml_id = sub_id + 1
+            if latest >= next_dml_id:
+                # replay: a later segment already committed, so this DDL
+                # (and its flush) already happened — skip it
+                lo = ev.sequence_num - 1
+                continue
+            self.apply_ddl(ev)
+            lo = ev.sequence_num - 1
+        tail_id = batch_id * self.MIXED_BATCH_STRIDE + len(ddls)
+        seg = staged if lo is None else staged.filter(seq > F.lit(lo))
+        results.append(self.apply_batch(database, table_name, seg, tail_id))
+        return results
 
     # ------------------------------------------------------------ stats job
 

@@ -53,6 +53,7 @@ def read_commit_log(checkpoint_dir: str) -> int:
 def _commit(checkpoint_dir: str, batch_id: int) -> None:
     import uuid
 
+    os.makedirs(checkpoint_dir, exist_ok=True)
     p = _commit_log_path(checkpoint_dir)
     tmp = p + "." + uuid.uuid4().hex + ".tmp"
     with open(tmp, "w") as f:
@@ -104,6 +105,88 @@ def run_microbatch_loop(
     return out
 
 
+def run_microbatch_loop_multi(
+    consumer: EventConsumer,
+    batches: list[tuple[int, DataFrame]],
+    checkpoint_dir: str,
+    *,
+    tables: list[tuple[str, str]] | None = None,
+    max_workers: int = 4,
+    crash_after_apply_batch: int | None = None,
+) -> list[dict]:
+    """Multi-table apply loop (O23): every batch DataFrame carries
+    ``(_database, _table)`` columns; per flush one apply task per table
+    runs on a thread pool and the checkpoint advances only after ALL
+    tables committed — the reference's flush() contract
+    (BigQueryEventConsumer.java:670-729).  A replayed batch no-ops per
+    table via the snapshot batch-id check, so a partial failure retries
+    exactly the failed tables."""
+    done = read_commit_log(checkpoint_dir)
+    out = []
+    for batch_id, df in batches:
+        if batch_id <= done:
+            continue
+        ms = consumer.apply_multi_table_batch(
+            df, batch_id, tables=tables, max_workers=max_workers
+        )
+        for m in ms:
+            _append_lineage(checkpoint_dir, m)
+        out.extend(ms)
+        if crash_after_apply_batch is not None and batch_id == crash_after_apply_batch:
+            raise RuntimeError(f"simulated crash after applying batch {batch_id}")
+        _commit(checkpoint_dir, batch_id)
+    return out
+
+
+def run_mixed_stream(
+    consumer: EventConsumer,
+    items: list,
+    database: str,
+    table: str,
+    checkpoint_dir: str,
+) -> list[dict]:
+    """Sequence-ordered mixed DML+DDL stream driver (O27 forced flush):
+    ``items`` is the event stream as the reference's EventConsumer sees
+    it — ``("dml", df)`` micro-batches and ``("ddl", DDLEvent)`` control
+    events, in stream order.  Each DDL implicitly flushes everything
+    before it (earlier items are separate commits); a DML item may ALSO
+    carry DDL events interleaved inside its sequence range as
+    ``("dml", df, [DDLEvent, ...])`` — the consumer splits the batch at
+    the DDL sequence points and flushes each segment before its DDL
+    (BigQueryEventConsumer.java:433,457,499).
+
+    Every item is its own checkpoint commit, so a crash replays at most
+    one item; DML replays no-op via the lake batch-id check and a
+    replayed DDL is either idempotent (CREATE/ALTER) or skipped by the
+    consumer when a later segment already committed."""
+    done = read_commit_log(checkpoint_dir)
+    out = []
+    for idx, item in enumerate(items):
+        if idx <= done:
+            continue
+        kind = item[0]
+        if kind == "dml":
+            df = item[1]
+            if C.BATCH_ID in df.columns:
+                # stream items are keyed by their position, not by any
+                # generator-carried batch column
+                df = df.drop(C.BATCH_ID)
+            ddls = item[2] if len(item) > 2 else []
+            if ddls:
+                ms = consumer.apply_mixed_batch(database, table, df, ddls, idx)
+            else:
+                ms = [consumer.apply_batch(database, table, df, idx)]
+            for m in ms:
+                _append_lineage(checkpoint_dir, m)
+            out.extend(ms)
+        elif kind == "ddl":
+            consumer.apply_ddl(item[1])
+        else:
+            raise ValueError(f"unknown stream item kind: {kind!r}")
+        _commit(checkpoint_dir, idx)
+    return out
+
+
 def run_structured_stream(
     spark: SparkSession,
     events_dir: str,
@@ -114,13 +197,24 @@ def run_structured_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    multi_table: bool = False,
 ):
     """Structured Streaming front-end: parquet file stream -> foreachBatch
     apply.  Spark's checkpoint gives the offset/commit log; the snapshot
-    batch-id check de-duplicates the one possibly-replayed batch."""
+    batch-id check de-duplicates the one possibly-replayed batch.
+
+    ``multi_table=True``: the stream carries ``(_database, _table)``
+    columns and every micro-batch fans out per table on the consumer's
+    thread pool (O23); ``database``/``table`` are ignored.  foreachBatch
+    raising on any table fails the trigger, so Spark's commit log only
+    advances when ALL tables committed — the reference flush contract."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch_df(consumer, batch_df, batch_id, database, table, checkpoint_dir)
+        if multi_table:
+            for m in consumer.apply_multi_table_batch(batch_df, batch_id):
+                _append_lineage(checkpoint_dir, m)
+        else:
+            apply_batch_df(consumer, batch_df, batch_id, database, table, checkpoint_dir)
 
     reader = (
         spark.readStream.schema(schema)

@@ -46,7 +46,11 @@ consumer = EventConsumer(
     os.path.join(root, "wh"),
     num_buckets=NUM_BUCKETS,
     count_diff_rows=False,
-    row_transform=extract_text_transform,
+    row_transform=None
+    if os.environ.get("SPARK_GRAFT_DIAG_NO_EXTRACT")
+    else extract_text_transform,
+    single_job_per_batch=os.environ.get("SPARK_GRAFT_SINGLE_JOB", "1") != "0",
+    single_job_merge_strategy=os.environ.get("SPARK_GRAFT_MERGE_STRATEGY", "broadcast"),
 )
 consumer.apply_ddl(
     DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=pages, primary_keys=["url"])

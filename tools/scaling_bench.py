@@ -129,6 +129,13 @@ def run_level(cpus: int, events_dir: str) -> None:
         num_buckets=NUM_BUCKETS,
         count_diff_rows=False,
         row_transform=extract_text_transform,
+        # ONE Spark job per steady batch (stats folded away; seq
+        # bookkeeping from parquet footers) — the serial-floor cut that
+        # the N->4N efficiency gate needs.
+        single_job_per_batch=os.environ.get("SPARK_GRAFT_SINGLE_JOB", "1") != "0",
+        single_job_merge_strategy=os.environ.get(
+            "SPARK_GRAFT_MERGE_STRATEGY", "broadcast"
+        ),
     )
     consumer.apply_ddl(
         DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=pages, primary_keys=["url"])
