@@ -52,6 +52,58 @@ def test_topk_by_count(spark):
     assert out == [(1, 5)]
 
 
+def test_sessionize_stream_hot_key_spanning_arrow_chunks(spark, tmp_path):
+    """A hot key whose micro-batch spans MULTIPLE pandas chunks (Arrow
+    maxRecordsPerBatch) must still process events in global time order:
+    events arrive interleaved so per-chunk sorting would spuriously
+    split the single session and miscount start_ms."""
+    # one user, 12 events 1 minute apart, written in an interleaved
+    # order so consecutive chunks contain non-adjacent timestamps
+    order = [11, 0, 7, 3, 9, 1, 5, 10, 2, 8, 4, 6]
+    rows = [(1, _ts(m), m) for m in order]
+    events_dir = str(tmp_path / "ev_chunks")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(events_dir)
+    # a later event closes the session (gap > 30 min)
+    spark.createDataFrame([(1, _ts(120), 99)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_id", T.LongType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+        sessions = sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
+        out_dir, cp = str(tmp_path / "out_chunks"), str(tmp_path / "cp_chunks")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        time.sleep(0.2)
+        got = {
+            (r["key"], r["n_events"], r["end_ms"] - r["start_ms"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        # exactly ONE closed session covering all 12 events over 11 min
+        assert got == {(1, 12, 11 * 60 * 1000)}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_sessionize_stream_closes_gap_sessions(spark, tmp_path):
     events_dir = str(tmp_path / "ev")
     # file 1: first session of user 1 + start of session 2

@@ -197,10 +197,14 @@ def main() -> None:
         run_level(int(sys.argv[2]), sys.argv[3])
         return
 
-    events_dir = tempfile.mkdtemp(prefix="bdps-scale-events-") + "/events"
-    t0 = time.monotonic()
-    generate(events_dir)
-    gen_sec = round(time.monotonic() - t0, 1)
+    reuse = os.environ.get("SPARK_GRAFT_SCALE_EVENTS_DIR")
+    if reuse and os.path.exists(os.path.join(reuse, "_SUCCESS")):
+        events_dir, gen_sec = reuse, 0.0
+    else:
+        events_dir = (reuse or tempfile.mkdtemp(prefix="bdps-scale-events-") + "/events")
+        t0 = time.monotonic()
+        generate(events_dir)
+        gen_sec = round(time.monotonic() - t0, 1)
 
     results = []
     for cpus in LEVELS:
@@ -237,9 +241,10 @@ def main() -> None:
         and len({r["final_rows"] for r in results}) == 1,
     }
     print(json.dumps(report))
-    import shutil
+    if not reuse:
+        import shutil
 
-    shutil.rmtree(os.path.dirname(events_dir), ignore_errors=True)
+        shutil.rmtree(os.path.dirname(events_dir), ignore_errors=True)
 
 
 if __name__ == "__main__":
