@@ -86,7 +86,10 @@ def run_cdc_apply(spark, n_events: int, batch_size: int = 50000) -> dict:
     )
     root = tempfile.mkdtemp(prefix="bdps-bench-")
     consumer = EventConsumer(
-        spark, os.path.join(root, "wh"), num_buckets=32, count_diff_rows=False
+        spark, os.path.join(root, "wh"), num_buckets=32, count_diff_rows=False,
+        # the documented throughput mode (BENCH/BASELINE.md): one Spark
+        # job per steady batch, byte-identical to the standard path
+        single_job_per_batch=True, single_job_merge_strategy="broadcast",
     )
     consumer.apply_ddl(
         DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=pages, primary_keys=["url"])

@@ -66,7 +66,14 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
     """Jaccard for (id_a, id_b) pairs from a shingle index.  With
-    ``pairs`` given, the intersection join is candidate-restricted."""
+    ``pairs`` given, the intersection join is candidate-restricted.
+
+    The shingle index is PERSISTED: it is consumed 3x (both self-join
+    sides + per-doc counts) and the shingling expression is a chain of
+    higher-order functions (transform/slice/concat_ws) that Spark
+    evaluates interpreted, not codegen'd — measured 2.5s/pass on 5k
+    docs, so recomputation, not the join, dominated the query."""
+    sh = sh.persist()
     cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if pairs is None:
         common = (
@@ -119,6 +126,7 @@ def jaccard_pairs(
     frequency to kill the hot-shingle quadratic blow-up at scale."""
     sh = shingles(df, id_col, text_col, k)
     if max_df is not None:
+        sh = sh.persist()  # scanned for df stats AND by the filtered index
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -161,7 +169,12 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("id", F.posexplode(band_vals).alias("band_idx", "band_val"))
+    # one row per doc; persisted because the candidate self-join consumes
+    # it twice and the signature aggregation above it is the query's
+    # most expensive stage
+    banded = sig.select(
+        "id", F.posexplode(band_vals).alias("band_idx", "band_val")
+    ).persist()
     cand = (
         banded.alias("a")
         .join(
@@ -176,19 +189,16 @@ def minhash_lsh_pairs(
     return _pair_jaccard(sh, cand, threshold)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc 32-bit SimHash over the distinct-token set: bit b of the
-    fingerprint is set iff more than half the tokens have bit b set in
-    their 32-bit hash (+1/-1 majority vote)."""
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
-    ).withColumn("h", hash32(F.col("token")))
+def _simhash_from_features(feat: DataFrame, feat_col: str) -> DataFrame:
+    """32-bit SimHash over a (id, feature) relation: bit b of the
+    fingerprint is set iff more than half the features have bit b set
+    in their 32-bit hash (+1/-1 majority vote)."""
+    h = feat.withColumn("h", hash32(F.col(feat_col)))
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c_{b}")
         for b in range(SIMHASH_BITS)
     ]
-    bits = tok.groupBy("id").agg(*aggs)
+    bits = h.groupBy("id").agg(*aggs)
     sim = None
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"c_{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
@@ -196,6 +206,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         sim = term if sim is None else sim + term
     return bits.select("id", sim.alias("simhash"), F.col("n").alias("n_tokens"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 32-bit SimHash over the distinct-token set (standalone
+    fingerprint utility; ``simhash_pairs`` fingerprints over SHINGLES
+    instead — see its docstring for why)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    return _simhash_from_features(tok, "token")
 
 
 def simhash_pairs(
@@ -209,8 +230,17 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash-blocked near-dup pairs: band-join candidates (4 x 8-bit
     bands — complete for hamming <= 3 by pigeonhole), hamming filter via
-    ``bit_count(xor)``, then candidate-restricted Jaccard verify."""
-    sim = simhash(df, id_col, text_col)
+    ``bit_count(xor)``, then candidate-restricted Jaccard verify.
+
+    The fingerprint is computed over word k-SHINGLES, not unigram
+    tokens: documents drawn from a shared vocabulary have near-identical
+    per-bit token majorities, which collapses unigram SimHash into a few
+    mega-clusters (measured: 777k candidate pairs within hamming<=2 over
+    5k docs — quadratic blow-up).  Shingles are document-specific, so
+    only true near-dups collide; the same persisted shingle index then
+    feeds the Jaccard verify — one feature pass for the whole query."""
+    sh = shingles(df, id_col, text_col, k).persist()
+    sim = _simhash_from_features(sh, "shingle")
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     bands = F.array(
         *[
@@ -220,9 +250,11 @@ def simhash_pairs(
             for i in range(n_bands)
         ]
     )
+    # persisted: consumed by both sides of the candidate self-join, and
+    # the simhash bit-vote aggregation feeding it is the expensive stage
     banded = sim.select(
         "id", "simhash", F.posexplode(bands).alias("band_idx", "band_val")
-    )
+    ).persist()
     cand = (
         banded.alias("a")
         .join(
@@ -241,7 +273,6 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    sh = shingles(df, id_col, text_col, k)
     verified = _pair_jaccard(sh, cand.select("id_a", "id_b"), threshold)
     return verified.join(cand, ["id_a", "id_b"]).select(
         "id_a", "id_b", "hamming", "jaccard"

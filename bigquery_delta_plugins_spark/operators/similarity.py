@@ -112,12 +112,14 @@ def cosine_pairs_banded(
     pair split by a hyperplane is missed) — audit with ``cosine_pairs``
     on a sample, exactly like ann_lsh_topk vs ann_bruteforce_topk."""
     signs = plane_signs(planes, dim)
+    # persisted: both self-join sides consume it, and the per-row
+    # norm + plane-dot folds are interpreted higher-order functions
     proj = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col), dim).alias("nrm"),
         lsh_bucket(F.col(vec_col), signs).alias("bucket"),
-    )
+    ).persist()
     a = proj.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "bucket",

@@ -221,7 +221,12 @@ def cdc_multi_table_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     root = tempfile.mkdtemp(prefix="bdps-multi-")
-    consumer = EventConsumer(spark, os.path.join(root, "wh"), num_buckets=4)
+    # single-job apply: byte-identical to the standard path (see
+    # tests/test_snapshot_split.py) at half the per-batch driver jobs
+    consumer = EventConsumer(
+        spark, os.path.join(root, "wh"), num_buckets=4,
+        single_job_per_batch=True, single_job_merge_strategy="broadcast",
+    )
     names = ["t0", "t1", "t2"]
     for t in names:
         consumer.apply_ddl(

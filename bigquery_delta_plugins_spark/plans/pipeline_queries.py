@@ -322,7 +322,9 @@ common AS (
 
 
 def _sql_dedup_simhash() -> str:
-    h = _H32.format(x="token")
+    # fingerprint over SHINGLES, exactly like the Spark plan (unigram
+    # simhash mega-clusters on shared-vocabulary corpora)
+    h = _H32.format(x="shingle")
     csums = ",\n  ".join(
         f"sum((h >> {b}) & 1) AS c_{b}" for b in range(DD.SIMHASH_BITS)
     )
@@ -338,8 +340,8 @@ def _sql_dedup_simhash() -> str:
         for i in range(n_bands)
     )
     return f"""WITH {_TOKS},
-tokd AS (SELECT doc_id AS id, unnest(list_distinct(t)) AS token FROM toks),
-th AS (SELECT id, {h} AS h FROM tokd),
+{_shingles_cte(SHINGLE_K)},
+th AS (SELECT id, {h} AS h FROM sh),
 bits AS (SELECT id, count(*) AS n,
   {csums}
 FROM th GROUP BY id),
@@ -352,7 +354,6 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id
   WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= {SIMHASH_MAX_HAMMING}),
-{_shingles_cte(SHINGLE_K)},
 common AS (
   SELECT cand.id_a, cand.id_b, any_value(cand.hamming) AS hamming, count(*) AS c
   FROM cand
