@@ -36,6 +36,8 @@ NEARDUP_PLANES = 4
 ANN_K = 5
 ANN_N_QUERIES = 8
 ANN_PLANES = 8
+IVF_CELLS = 8
+IVF_NPROBE = 2
 EMBED_DIM = 64
 
 
@@ -148,6 +150,20 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         k=ANN_K,
+        dim=EMBED_DIM,
+    )
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    return SIM.ann_topk_ivf(
+        e,
+        e.filter(F.col("vec_id") < ANN_N_QUERIES),
+        "vec_id",
+        "embedding",
+        k=ANN_K,
+        n_cells=IVF_CELLS,
+        nprobe=IVF_NPROBE,
         dim=EMBED_DIM,
     )
 
@@ -434,6 +450,40 @@ r AS (SELECT *, row_number() OVER (
 SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {ANN_K}"""
 
 
+def _sql_ann_ivf() -> str:
+    signs = SIM.plane_signs(IVF_CELLS, EMBED_DIM)
+    dots = []
+    for row in signs:
+        arr = "[" + ", ".join(f"{float(s)}" for s in row) + "]"
+        dots.append(_DOT.format(a=arr, b="embedding", n=str(EMBED_DIM)))
+    dots_list = "[" + ", ".join(dots) + "]"
+    cos = _cos_sql("probes.qv", "c.cv", n=str(EMBED_DIM))
+    return f"""WITH v AS (
+  SELECT vec_id, embedding, {dots_list} AS dots FROM embeddings),
+a AS (
+  SELECT vec_id, embedding, dots,
+         list_position(dots, list_aggregate(dots, 'max')) AS cell1
+  FROM v),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell1,
+         list_position(l2, list_aggregate(l2, 'max')) AS cell2
+  FROM (SELECT *, list_transform(range(1, {IVF_CELLS} + 1),
+          i -> CASE WHEN i = cell1 THEN '-infinity'::DOUBLE ELSE dots[i] END) AS l2
+        FROM a)
+  WHERE vec_id < {ANN_N_QUERIES}),
+probes AS (
+  SELECT query_id, qv, cell1 AS cell FROM q
+  UNION ALL SELECT query_id, qv, cell2 FROM q),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell1 AS cell FROM a),
+p AS (
+  SELECT probes.query_id, c.neighbor_id, {cos} AS cosine
+  FROM c JOIN probes USING (cell) WHERE probes.query_id <> c.neighbor_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM p)
+SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {ANN_K}"""
+
+
 def _sql_sessionize() -> str:
     return f"""WITH s AS (
   SELECT user_id, ts, event_id,
@@ -486,6 +536,7 @@ QUERIES = {
     "embed_cosine_neardup": embed_cosine_neardup,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "multimodal_features": multimodal_features,
     "events_sessionize": events_sessionize,
     "events_topk_users": events_topk_users,
@@ -504,6 +555,7 @@ def oracles() -> dict[str, str]:
         "embed_cosine_neardup": _sql_embed_neardup(),
         "ann_topk_bruteforce": _sql_ann_bruteforce(),
         "ann_topk_lsh": _sql_ann_lsh(),
+        "ann_topk_ivf": _sql_ann_ivf(),
         "multimodal_features": _sql_multimodal(),
         "events_sessionize": _sql_sessionize(),
         "events_topk_users": _sql_topk_users(),

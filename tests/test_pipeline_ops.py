@@ -214,6 +214,28 @@ def test_ann_lsh_topk_is_bucket_restricted_exact(spark, vecs):
     assert {1, 2} <= ids
 
 
+def test_ann_ivf_topk_is_cell_restricted_exact(spark, vecs):
+    df, rows = vecs
+    out = SIM.ann_topk_ivf(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=3, n_cells=4, nprobe=2, dim=8,
+    ).collect()
+    # every returned cosine is the exact cosine, ranks contiguous
+    for r in out:
+        assert math.isclose(
+            r["cosine"], _np_cos(rows[0][1], rows[r["neighbor_id"]][1]), rel_tol=1e-9
+        )
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, len(out) + 1)
+    )
+    # the near-identical cluster shares the query's nearest cell
+    ids = {r["neighbor_id"] for r in out}
+    assert {1, 2} <= ids
+    # nprobe=2 never yields duplicate (query, neighbor) pairs
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in out]
+    assert len(pairs) == len(set(pairs))
+
+
 # ------------------------------------------------------------- multimodal
 
 
