@@ -106,6 +106,38 @@ def test_multi_table_partial_failure_and_retry(spark, tmp_path):
         assert consumer.table("db", f"t{i}").read().count() == 10
 
 
+def test_structured_stream_multi_table(spark, tmp_path):
+    """O23 through Structured Streaming: a parquet file stream whose
+    rows carry (_database, _table) fans out per table inside
+    foreachBatch; Spark's commit log only advances when every table
+    committed."""
+    import time as _time
+
+    from bigquery_delta_plugins_spark.streaming.driver import run_structured_stream
+
+    consumer = _consumer(spark, tmp_path)
+    _create(consumer)
+    events_dir = str(tmp_path / "events")
+    for half in range(2):
+        rows = [
+            _ev("INSERT", 1 + uid + half * 100, uid + half * 30,
+                float(uid + half * 30), tb=f"t{uid % 3}")
+            for uid in range(30)
+        ]
+        spark.createDataFrame(rows, STAGING).coalesce(1).write.mode("append").parquet(
+            events_dir
+        )
+        _time.sleep(1.05)  # distinct mtimes => deterministic file order
+    run_structured_stream(
+        spark, events_dir, STAGING, consumer, "", "",
+        os.path.join(str(tmp_path), "cp"),
+        max_files_per_trigger=1, multi_table=True,
+    )
+    for i in range(3):
+        got = {r["user_id"] for r in consumer.table("db", f"t{i}").read().collect()}
+        assert got == {u for u in range(60) if u % 3 == i}
+
+
 MIXED = T.StructType(
     [
         T.StructField(C.OPERATION, T.StringType(), False),
