@@ -48,6 +48,25 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs Java regex and RE2
+# (DuckDB) evaluate identically: contractions, optional-space letter /
+# digit / punctuation runs, whitespace runs.  (The upstream pattern's
+# trailing negative lookahead is dropped — RE2 has no lookaround; on
+# whitespace-normalized web text the token COUNT is unchanged.)
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches — the
+    standard proxy for LLM token budgets when the real BPE vocab isn't
+    in the engine."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
 def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text))).cast("long")
 

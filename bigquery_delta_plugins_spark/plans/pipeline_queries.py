@@ -58,6 +58,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         n.alias("n_tokens"),
+        TX.bpe_token_count(t).alias("n_bpe_tokens"),
         TX.distinct_token_count(t).alias("n_distinct"),
         TX.char_count(t).alias("n_chars_calc"),
         (TX.token_len_sum(t) / n).alias("avg_token_len"),
@@ -243,9 +244,12 @@ def _jaccard_tail(threshold: float, extra_cols: str = "", src: str = "sh") -> st
 
 def _sql_token_stats() -> str:
     stop = _in_list(TX.ALL_STOPWORDS)
+    # DuckDB standard strings keep backslashes literal; only quotes double
+    bpe = TX.BPE_PRETOKEN_PATTERN.replace("'", "''")
     return f"""WITH {_TOKS}
 SELECT d.doc_id,
   len(t) AS n_tokens,
+  len(regexp_extract_all(d.text, '{bpe}')) AS n_bpe_tokens,
   len(list_distinct(t)) AS n_distinct,
   length(d.text) AS n_chars_calc,
   list_aggregate(list_transform(t, x -> length(x)), 'sum') / len(t) AS avg_token_len,

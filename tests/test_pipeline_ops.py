@@ -51,6 +51,26 @@ def test_token_stats(spark, docs):
     assert out[5]["n"] == 1 and out[5]["nd"] == 1 and out[5]["stop"] == 0
 
 
+def test_bpe_token_count_matches_python_regex(spark, docs):
+    import re
+
+    pat = re.compile(TX.BPE_PRETOKEN_PATTERN)
+    out = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", TX.bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    for r in docs.collect():
+        assert out[r["doc_id"]] == len(pat.findall(r["text"])), r["text"]
+    # contractions and punctuation split as the pre-tokenizer does
+    extra = spark.createDataFrame(
+        [(100, "it's a test, isn't it? 42 times!")], "doc_id long, text string"
+    )
+    n = extra.select(TX.bpe_token_count(F.col("text")).alias("n")).first()["n"]
+    assert n == len(pat.findall("it's a test, isn't it? 42 times!"))
+
+
 def test_quality_score_bounds(spark, docs):
     vals = [r[0] for r in docs.select(TX.quality_score(F.col("text"))).collect()]
     assert all(0.0 <= v <= 1.0 for v in vals)
