@@ -400,6 +400,44 @@ class LakeTable:
             snap, new, snap["files"], snap["summary"], snap["properties"]
         )
 
+    def vacuum(self, keep_snapshots: int = 1) -> dict:
+        """Garbage-collect data files not referenced by the most recent
+        ``keep_snapshots`` manifests, and drop older manifests.  Crashed
+        write jobs leave orphan files (never a torn table — the manifest
+        is the source of truth); vacuum reclaims them.  Returns counts.
+
+        Safe with concurrent READERS of retained snapshots only — like
+        Iceberg's ``expire_snapshots``, time travel beyond the retained
+        window is gone afterwards."""
+        keep_snapshots = max(1, keep_snapshots)
+        cur = self.current_snapshot()
+        keep, snap = [cur], cur
+        while len(keep) < keep_snapshots and snap["parent_id"] is not None:
+            snap = self.snapshot(snap["parent_id"])
+            keep.append(snap)
+        referenced = {f["path"] for s in keep for f in s["files"]}
+        keep_ids = {s["snapshot_id"] for s in keep}
+
+        removed_files = 0
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for root, _dirs, names in os.walk(data_root):
+            for n in names:
+                p = os.path.join(root, n)
+                rel = os.path.relpath(p, self.path)
+                if n.endswith(".parquet") and rel not in referenced:
+                    os.remove(p)
+                    removed_files += 1
+        removed_manifests = 0
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        for n in os.listdir(mdir):
+            if not n.startswith("snap-"):
+                continue
+            sid = int(n[len("snap-"):-len(".json")])
+            if sid not in keep_ids:
+                os.remove(os.path.join(mdir, n))
+                removed_manifests += 1
+        return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+
     def truncate(self) -> dict:
         """TRUNCATE = drop data, keep definition
         (BigQueryEventConsumer.java:498-524)."""

@@ -223,6 +223,37 @@ def test_replayed_snapshot_events_are_dropped_by_seq_barrier(spark, tmp_path):
     assert state == {1: (1.0, 1), 2: (22.0, 3)}
 
 
+def test_crashed_write_leaves_orphans_reads_unaffected_vacuum_reclaims(
+    spark, tmp_path
+):
+    """A write job that dies AFTER producing data files but BEFORE the
+    manifest commit leaves orphan parquet on disk; reads are manifest-
+    driven so state is unaffected, and vacuum() reclaims the orphans
+    while preserving retained snapshots."""
+    import glob
+
+    c = _mk(spark, tmp_path, "orphan")
+    _seed(spark, c)
+    t = c.table("db", "t")
+    # simulate the crash window: data files written, no commit
+    orphan_rows = c._staged_to_target_rows(
+        spark.createDataFrame([(77, 77.0)], SRC), t
+    )
+    t._write_data_files(orphan_rows, t.schema)
+    before = {tuple(r) for r in t.read().select("user_id").collect()}
+    assert (77,) not in before  # manifest isolation
+
+    n_files_before = len(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"),
+                                   recursive=True))
+    stats = t.vacuum(keep_snapshots=1)
+    assert stats["removed_files"] >= 1
+    n_files_after = len(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"),
+                                  recursive=True))
+    assert n_files_after < n_files_before
+    after = {tuple(r) for r in t.read().select("user_id").collect()}
+    assert after == before  # current snapshot fully intact
+
+
 def test_create_table_replay_drops_half_loaded_table(spark, tmp_path):
     """O29: CREATE_TABLE replayed over a direct-load-in-progress flag
     drops the half-loaded table and starts clean."""
