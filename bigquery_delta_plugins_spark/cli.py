@@ -1,0 +1,216 @@
+"""spark-submit entrypoint: run the CDC apply engine from the command
+line, the way the reference plugin is driven by the Delta app
+(BigQueryTarget.java:108-213 initialize/createConsumer).
+
+Ship the package with ``--py-files`` and point it at a staged-events
+directory::
+
+    zip -r bdps.zip bigquery_delta_plugins_spark
+    spark-submit --py-files bdps.zip -m bigquery_delta_plugins_spark \\
+        gen    --events /data/staged --n-events 10000000 --n-urls 200000
+    spark-submit --py-files bdps.zip -m bigquery_delta_plugins_spark \\
+        apply  --events /data/staged --warehouse /lake --table web.pages
+    spark-submit --py-files bdps.zip -m bigquery_delta_plugins_spark \\
+        stream --events /data/staged --warehouse /lake --table web.pages
+    spark-submit --py-files bdps.zip -m bigquery_delta_plugins_spark \\
+        show   --warehouse /lake --table web.pages
+
+``apply`` replays the staged parquet batch-by-batch (``_batch_id``
+partition order) through the exactly-once micro-batch loop; ``stream``
+runs the Structured Streaming front-end with checkpoint resume; both
+emit per-batch lineage JSONL under the checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _session(args):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.appName("bdps-cdc-apply")
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if args.master:
+        b = b.master(args.master)
+    return b.getOrCreate()
+
+
+def _pages_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+
+
+def _consumer(spark, args, schema, db, tb, pks):
+    from .streaming.consumer import EventConsumer
+    from .types import DDLEvent, DDLOp
+
+    c = EventConsumer(
+        spark,
+        args.warehouse,
+        num_buckets=args.num_buckets,
+        soft_deletes=args.soft_deletes,
+        row_transform=None if args.no_extract else _extract_transform(),
+        single_job_per_batch=args.single_job,
+    )
+    c.apply_ddl(
+        DDLEvent(DDLOp.CREATE_TABLE, db, tb, schema=schema, primary_keys=pks)
+    )
+    return c
+
+
+def _extract_transform():
+    from .functions.extract import extract_text_transform
+
+    return extract_text_transform
+
+
+def _split_table(qualified: str) -> tuple[str, str]:
+    if "." not in qualified:
+        raise SystemExit(f"--table must be database.table, got {qualified!r}")
+    db, tb = qualified.split(".", 1)
+    return db, tb
+
+
+def cmd_gen(args) -> int:
+    from .sources.gen import synth_events
+
+    spark = _session(args)
+    ev = synth_events(
+        spark, args.n_events, args.n_urls,
+        batch_size=args.batch_size, pk_move_frac=args.pk_move_frac,
+    )
+    ev.write.mode("overwrite").partitionBy("_batch_id").parquet(args.events)
+    print(json.dumps({"events": args.events, "n_events": args.n_events}))
+    return 0
+
+
+def cmd_apply(args) -> int:
+    from pyspark.sql import functions as F
+
+    from . import constants as C
+    from .streaming.driver import run_microbatch_loop
+
+    spark = _session(args)
+    db, tb = _split_table(args.table)
+    consumer = _consumer(spark, args, _pages_schema(), db, tb, ["url"])
+    ev = spark.read.parquet(args.events)
+    batch_ids = sorted(
+        r[0] for r in ev.select(C.BATCH_ID).distinct().collect()
+    )
+    batches = [(b, ev.filter(F.col(C.BATCH_ID) == b)) for b in batch_ids]
+    metrics = run_microbatch_loop(
+        consumer, batches, db, tb, args.checkpoint or os.path.join(args.warehouse, "_cp")
+    )
+    applied = [m for m in metrics if not m["skipped"]]
+    print(json.dumps({
+        "applied_batches": len(applied),
+        "skipped_batches": len(metrics) - len(applied),
+        "final_rows": consumer.table(db, tb).read().count(),
+    }))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from . import schemas
+    from .streaming.driver import run_structured_stream
+
+    spark = _session(args)
+    db, tb = _split_table(args.table)
+    consumer = _consumer(spark, args, _pages_schema(), db, tb, ["url"])
+    staging = schemas.staging_schema(_pages_schema())
+    run_structured_stream(
+        spark, args.events, staging, consumer, db, tb,
+        args.checkpoint or os.path.join(args.warehouse, "_cp"),
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=not args.continuous,
+    )
+    print(json.dumps({"final_rows": consumer.table(db, tb).read().count()}))
+    return 0
+
+
+def cmd_show(args) -> int:
+    from .lake.table import LakeTable
+    from .normalize import get_normalized_dataset_name, normalize_table_name
+
+    spark = _session(args)
+    db, tb = _split_table(args.table)
+    path = os.path.join(
+        args.warehouse, get_normalized_dataset_name(None, db), normalize_table_name(tb)
+    )
+    t = LakeTable.load(spark, path)
+    snap = t.current_snapshot()
+    print(json.dumps({
+        "path": path,
+        "snapshot_id": snap["snapshot_id"],
+        "rows": t.read().count(),
+        "files": len(snap["files"]),
+        "summary": snap["summary"],
+        "properties": snap["properties"],
+    }))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bigquery_delta_plugins_spark")
+    p.add_argument("--master", default=None, help="Spark master (default: cluster-provided)")
+    p.add_argument("--shuffle-partitions", type=int, default=200)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="synthesize a staged CDC event stream")
+    g.add_argument("--events", required=True)
+    g.add_argument("--n-events", type=int, default=1_000_000)
+    g.add_argument("--n-urls", type=int, default=50_000)
+    g.add_argument("--batch-size", type=int, default=100_000)
+    g.add_argument("--pk-move-frac", type=float, default=0.02)
+    g.set_defaults(fn=cmd_gen)
+
+    for name, fn in (("apply", cmd_apply), ("stream", cmd_stream)):
+        a = sub.add_parser(name, help=f"{name} staged events into the lake")
+        a.add_argument("--events", required=True)
+        a.add_argument("--warehouse", required=True)
+        a.add_argument("--table", required=True, help="database.table")
+        a.add_argument("--checkpoint", default=None)
+        a.add_argument("--num-buckets", type=int, default=32)
+        a.add_argument("--soft-deletes", action="store_true")
+        a.add_argument("--no-extract", action="store_true",
+                       help="skip the vectorized html->text transform")
+        a.add_argument("--single-job", action="store_true",
+                       help="single-Spark-job-per-batch apply mode")
+        if name == "stream":
+            a.add_argument("--max-files-per-trigger", type=int, default=1)
+            a.add_argument("--continuous", action="store_true",
+                           help="processingTime trigger instead of availableNow")
+        a.set_defaults(fn=fn)
+
+    s = sub.add_parser("show", help="print table state summary")
+    s.add_argument("--warehouse", required=True)
+    s.add_argument("--table", required=True)
+    s.set_defaults(fn=cmd_show)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

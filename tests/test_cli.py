@@ -1,0 +1,44 @@
+"""CLI / spark-submit entrypoint: gen -> apply -> show round-trip, and
+idempotent re-apply (the north star's ``spark-submit --py-files``
+delivery path)."""
+
+import json
+import os
+
+from bigquery_delta_plugins_spark.cli import main
+
+
+def test_cli_gen_apply_show_roundtrip(spark, tmp_path, capsys):
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    base = ["--master", "local[4]", "--shuffle-partitions", "4"]
+
+    assert main(base + [
+        "gen", "--events", events, "--n-events", "2000", "--n-urls", "100",
+        "--batch-size", "500",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_events"] == 2000
+
+    assert main(base + [
+        "apply", "--events", events, "--warehouse", wh, "--table", "web.pages",
+        "--num-buckets", "4",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied_batches"] == 4 and out["skipped_batches"] == 0
+    rows = out["final_rows"]
+    assert rows > 0
+
+    # re-apply from the same checkpoint: everything skips, state stable
+    assert main(base + [
+        "apply", "--events", events, "--warehouse", wh, "--table", "web.pages",
+        "--num-buckets", "4",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied_batches"] == 0 and out["final_rows"] == rows
+
+    assert main(base + ["show", "--warehouse", wh, "--table", "web.pages"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == rows and out["summary"]["latest_merged_seq"] == 2000
+    # lineage emitted per batch next to the warehouse checkpoint
+    assert os.path.exists(os.path.join(wh, "_cp", "lineage.jsonl"))
