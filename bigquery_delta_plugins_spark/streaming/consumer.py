@@ -62,6 +62,7 @@ class EventConsumer:
         broadcast_merge_max_bytes: int = 512 * 1024 * 1024,
         single_job_per_batch: bool = False,
         single_job_merge_strategy: str = "shuffle",
+        broadcast_flatten_winners: bool = True,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -104,6 +105,12 @@ class EventConsumer:
         if single_job_merge_strategy not in ("shuffle", "broadcast"):
             raise ValueError(single_job_merge_strategy)
         self.single_job_merge_strategy = single_job_merge_strategy
+        # Pass False when micro-batches can carry tens of millions of
+        # DISTINCT keys: the flatten winner set (one long per surviving
+        # key) then threatens the broadcast budget, and the semi-join
+        # should fall back to a shuffle that AQE may still convert
+        # (operators/flatten.py broadcast_winners docstring).
+        self.broadcast_flatten_winners = broadcast_flatten_winners
         os.makedirs(warehouse, exist_ok=True)
 
     # ------------------------------------------------------------------ paths
@@ -332,6 +339,7 @@ class EventConsumer:
             ordering=src.ordering,
             sort_key_count=len(src.sort_key_types),
             salt_buckets=self.salt_buckets,
+            broadcast_winners=self.broadcast_flatten_winners,
         )
         if self.row_transform is not None:
             diff = self.row_transform(diff)

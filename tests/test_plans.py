@@ -69,6 +69,38 @@ def test_broadcast_merge_has_no_target_exchange(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_banded_cosine_has_no_nested_loop_join(spark):
+    """embed_cosine_neardup's scale contract: the pair search is an
+    equi-join on the LSH bucket, never a BroadcastNestedLoopJoin
+    cartesian (round 1's scale-killer)."""
+    from bigquery_delta_plugins_spark.operators.similarity import cosine_pairs_banded
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, -1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_of(cosine_pairs_banded(df, "vec_id", "embedding", planes=2, dim=4))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_probe_is_cell_equijoin(spark):
+    """ann_topk_ivf joins corpus to queries on the quantizer cell — a
+    (broadcast) hash equi-join, candidates bounded per cell."""
+    from bigquery_delta_plugins_spark.operators.similarity import ann_topk_ivf
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, -1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_of(
+        ann_topk_ivf(df, df.filter(F.col("vec_id") < 2), "vec_id", "embedding",
+                     k=2, n_cells=4, nprobe=2, dim=4)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_shuffle_merge_uses_key_exchange(spark):
     target = spark.createDataFrame([], schemas.target_schema(PAGES))
     diff = spark.createDataFrame([], schemas.staging_schema(PAGES)).drop(C.BATCH_ID)
