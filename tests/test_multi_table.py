@@ -232,6 +232,26 @@ def test_mixed_stream_resume_and_ddl_replay_skip(spark, tmp_path):
     assert state2 == state1
 
 
+def test_rename_table_is_logged_and_skipped(spark, tmp_path, caplog):
+    """O16: RENAME_TABLE is explicitly unsupported — logged and skipped,
+    table state untouched (BigQueryEventConsumer.java:491-497)."""
+    import logging
+
+    consumer = _consumer(spark, tmp_path)
+    _create(consumer, tables=("t0",))
+    df = spark.createDataFrame(
+        [_ev("INSERT", 1, 1, 1.0)], STAGING
+    ).drop("_database", "_table")
+    consumer.apply_batch("db", "t0", df, 0)
+    with caplog.at_level(logging.WARNING):
+        consumer.apply_ddl(
+            DDLEvent(DDLOp.RENAME_TABLE, "db", "t0", sequence_num=9)
+        )
+    assert any("RENAME_TABLE is not supported" in r.message for r in caplog.records)
+    t = consumer.table("db", "t0")
+    assert t.read().count() == 1 and t.latest_batch_id() == 0
+
+
 def test_mixed_stream_item_resume(spark, tmp_path):
     """run_mixed_stream resumes from its item-level commit log."""
     consumer = _consumer(spark, tmp_path)
