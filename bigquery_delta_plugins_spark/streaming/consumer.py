@@ -54,6 +54,7 @@ class EventConsumer:
         salt_buckets: int = 16,
         normalize_names: bool = True,
         flexible_column_naming: bool = False,
+        dataset_name: str | None = None,
         require_manual_drops: bool = False,
         count_diff_rows: bool = True,  # kept for API compat; counts are
         # now a free by-product of the single per-batch stats job
@@ -74,6 +75,12 @@ class EventConsumer:
         # Flexible-charset column naming (BigQueryUtils.java:45-48):
         # widens the legal field character set during normalization.
         self.flexible_column_naming = flexible_column_naming
+        # Optional fixed dataset override: every source database maps to
+        # this one dataset; empty/None falls back to the (normalized)
+        # source database name — the reference's datasetName conf
+        # (BigQueryTarget.java:332-338, fallback test
+        # BigQueryConsumerTest.java:274-305).
+        self.dataset_name = dataset_name
         self.require_manual_drops = require_manual_drops
         self.count_diff_rows = count_diff_rows
         # Optional per-row column derivation (DataFrame -> DataFrame),
@@ -116,7 +123,11 @@ class EventConsumer:
     # ------------------------------------------------------------------ paths
 
     def _table_path(self, database: str, table: str) -> str:
-        db = get_normalized_dataset_name(None, database) if self.normalize_names else database
+        db = (
+            get_normalized_dataset_name(self.dataset_name, database)
+            if self.normalize_names
+            else (self.dataset_name or database)
+        )
         tb = normalize_table_name(table) if self.normalize_names else table
         return os.path.join(self.warehouse, db, tb)
 
@@ -131,7 +142,7 @@ class EventConsumer:
         op = event.op
         if op == DDLOp.CREATE_DATABASE:
             os.makedirs(
-                os.path.join(self.warehouse, get_normalized_dataset_name(None, event.database)),
+                os.path.join(self.warehouse, get_normalized_dataset_name(self.dataset_name, event.database)),
                 exist_ok=True,
             )
         elif op == DDLOp.DROP_DATABASE:
@@ -143,7 +154,7 @@ class EventConsumer:
             import shutil
 
             shutil.rmtree(
-                os.path.join(self.warehouse, get_normalized_dataset_name(None, event.database)),
+                os.path.join(self.warehouse, get_normalized_dataset_name(self.dataset_name, event.database)),
                 ignore_errors=True,
             )
         elif op == DDLOp.CREATE_TABLE:

@@ -103,6 +103,39 @@ def test_ordered_to_unordered_upgrade_and_default_resume(spark, tmp_path):
     assert state[3][C.SEQUENCE_NUM] == 6  # tombstone carries D's seq
 
 
+def test_dataset_name_override_and_empty_fallback(spark, tmp_path):
+    """Reference datasetName conf: a fixed dataset override routes every
+    source database into one dataset; empty string falls back to the
+    normalized database name (BigQueryTarget.java:332-338,
+    BigQueryConsumerTest.java:274-305)."""
+    import os as _os
+
+    rows = [("INSERT", 1, 1, 1.0, None)]
+    fixed = EventConsumer(
+        spark, _os.path.join(str(tmp_path), "w1"), num_buckets=2,
+        dataset_name="lake_ds",
+    )
+    fixed.apply_ddl(
+        DDLEvent(DDLOp.CREATE_TABLE, "src_db", "t", schema=SRC,
+                 primary_keys=["user_id"])
+    )
+    fixed.apply_batch(
+        "src_db", "t", spark.createDataFrame(rows, ORDERED_STAGING), 0
+    )
+    assert _os.path.isdir(_os.path.join(str(tmp_path), "w1", "lake_ds", "t"))
+    assert fixed.table("src_db", "t").read().count() == 1
+
+    fallback = EventConsumer(
+        spark, _os.path.join(str(tmp_path), "w2"), num_buckets=2,
+        dataset_name="",
+    )
+    fallback.apply_ddl(
+        DDLEvent(DDLOp.CREATE_TABLE, "src db!", "t", schema=SRC,
+                 primary_keys=["user_id"])
+    )
+    assert _os.path.isdir(_os.path.join(str(tmp_path), "w2", "src_db_", "t"))
+
+
 def test_flexible_column_naming_through_consumer(spark, tmp_path):
     dirty = T.StructType(
         [
