@@ -45,6 +45,14 @@ _CURRENT = "_current"
 _DATA_DIR = "data"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same snapshot id first (optimistic
+    concurrency, like Iceberg's CommitFailedException).  The loser must
+    re-read the table state and re-apply — for this engine's
+    one-writer-per-table model it indicates a misconfigured deployment,
+    not a retryable race."""
+
+
 def parquet_files_max_long(paths: list[str], column: str) -> int | None:
     """Max of a long column across parquet files, from FOOTER statistics
     only — a driver-side metadata read, no Spark job.  Used by the
@@ -174,7 +182,29 @@ class LakeTable:
             json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(mdir, name))
+        # Optimistic concurrency (Iceberg-style CAS): the snapshot id is
+        # claimed by an ATOMIC link of the fully-written temp manifest —
+        # a concurrent committer racing from the same parent loses with
+        # CommitConflictError instead of silently clobbering history.
+        # (A crash mid-write only ever leaves the .tmp; the final name
+        # appears complete or not at all.)
+        try:
+            os.link(tmp, os.path.join(mdir, name))
+        except FileExistsError:
+            # Either a concurrent committer won (its snapshot became
+            # current — true conflict), or a previous attempt of THIS
+            # commit crashed after the link but before the pointer swap
+            # (file exists, pointer still on the parent) — adopt it.
+            if self.current_snapshot()["snapshot_id"] >= sid:
+                os.remove(tmp)
+                raise CommitConflictError(
+                    f"snapshot {sid} of {self.path} was committed "
+                    f"concurrently (parent {snap['parent_id']}); re-read "
+                    "and retry"
+                ) from None
+            os.replace(tmp, os.path.join(mdir, name))
+        else:
+            os.remove(tmp)
         # atomic pointer swap — THE commit point
         ptmp = os.path.join(mdir, f".{_CURRENT}.{uuid.uuid4().hex}.tmp")
         with open(ptmp, "w") as f:

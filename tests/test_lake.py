@@ -2,6 +2,48 @@
 bucket-pruned copy-on-write, schema evolution, truncate, time travel."""
 
 import pytest
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency: two writers committing from the same
+    parent snapshot — the second (after the first's pointer swap) gets
+    CommitConflictError instead of silently clobbering history; a
+    crashed-own-attempt leftover (snap file linked, pointer not swapped)
+    is adopted on retry instead of conflicting."""
+    from pyspark.sql import types as T
+
+    from bigquery_delta_plugins_spark.lake.table import (
+        CommitConflictError,
+        LakeTable,
+    )
+
+    schema = T.StructType([T.StructField("k", T.LongType(), True)])
+    path = str(tmp_path / "cc")
+    a = LakeTable.create(spark, path, schema, ["k"], num_buckets=2)
+    b = LakeTable(spark, path)
+    df1 = spark.createDataFrame([(1,)], schema)
+    df2 = spark.createDataFrame([(2,)], schema)
+    # both handles read parent snapshot 0; a commits first...
+    a.append(df1, batch_id=0)
+    # ...then b tries to commit snapshot 1 from the stale parent
+    with pytest.raises(CommitConflictError, match="committed concurrently"):
+        # bypass the batch-id guard to force the low-level race
+        snap0 = b.snapshot(0)
+        b._write_snapshot(snap0, snap0["schema"], snap0["files"],
+                          dict(snap0["summary"]), snap0["properties"])
+
+    # crashed-own-attempt: snap file for sid=2 exists, pointer still at 1
+    import json as _json
+    import os as _os
+
+    cur = a.current_snapshot()
+    leftover = dict(cur, snapshot_id=2, parent_id=cur["snapshot_id"])
+    with open(_os.path.join(path, "_manifests", "snap-00000002.json"), "w") as f:
+        _json.dump(leftover, f)
+    snap = a.append(df2, batch_id=1)  # retry adopts, no conflict
+    assert snap["snapshot_id"] == 2
+    assert a.current_snapshot()["snapshot_id"] == 2
+    assert a.read().count() == 2
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
