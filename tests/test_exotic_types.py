@@ -76,6 +76,51 @@ def test_datetime_array_decimal_roundtrip(spark, tmp_path):
     assert m["skipped"]
 
 
+NESTED = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("author", T.StringType(), True),
+                    T.StructField("score", T.DoubleType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+NESTED_STAGING = T.StructType(
+    [
+        T.StructField(C.OPERATION, T.StringType(), False),
+        T.StructField(C.SEQUENCE_NUM, T.LongType(), False),
+        T.StructField("id", T.LongType(), False),
+        T.StructField("meta", NESTED["meta"].dataType, True),
+        T.StructField("_before_id", T.LongType(), True),
+    ]
+)
+
+
+def test_nested_struct_column_roundtrip(spark, tmp_path):
+    """O19 RECORD -> STRUCT: nested struct payloads flow through
+    flatten/merge/read untouched (Schemas.java:147-149)."""
+    c = EventConsumer(spark, str(tmp_path / "whn"), num_buckets=2)
+    c.apply_ddl(
+        DDLEvent(DDLOp.CREATE_TABLE, "db", "t", schema=NESTED, primary_keys=["id"])
+    )
+    events = [
+        ("INSERT", 1, 1, ("alice", 0.5), None),
+        ("UPDATE", 2, 1, ("bob", None), 1),
+        ("INSERT", 3, 2, None, None),
+    ]
+    c.apply_batch("db", "t", spark.createDataFrame(events, NESTED_STAGING), 0)
+    rows = {r["id"]: r["meta"] for r in c.table("db", "t").read().collect()}
+    assert rows[1]["author"] == "bob" and rows[1]["score"] is None
+    assert rows[2] is None
+
+
 def test_exotic_types_in_single_job_mode(spark, tmp_path):
     c = EventConsumer(
         spark, str(tmp_path / "wh2"), num_buckets=2,

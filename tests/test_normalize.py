@@ -9,6 +9,34 @@ from bigquery_delta_plugins_spark.normalize import (
 )
 
 
+def test_normalization_properties_hypothesis():
+    """Idempotence + closure: normalizing any unicode string yields a
+    legal identifier, and normalizing twice equals normalizing once
+    (the reference applies normalization per event via a cache —
+    BigQueryUtils.java:271-330 — so stability under re-application is a
+    required invariant)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigquery_delta_plugins_spark.normalize import normalize_field_name
+
+    legal = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=1, max_size=40))
+    def check(s):
+        for flexible in (False, True):
+            out = normalize_field_name(s, flexible)
+            assert normalize_field_name(out, flexible) == out, (s, out)
+            assert len(out) <= 300
+            if not flexible:
+                assert legal.match(out), (s, out)
+
+    check()
+
+
 def test_get_normalized_dataset_name():
     assert get_normalized_dataset_name("a2fs", "db2") == "a2fs"
     assert get_normalized_dataset_name(None, "db2") == "db2"

@@ -87,6 +87,26 @@ def test_mixed_batch_snapshot_split_matches_all_merge(spark, tmp_path):
     assert {r[0] for r in s} == {1, 2, 10, 11, 12}
 
 
+def test_update_referencing_same_batch_snapshot_row(spark, tmp_path):
+    """O5 split ordering: a streaming UPDATE whose before-key is a row
+    the SAME batch's snapshot portion inserts must take the MATCHED arm
+    — the snapshot direct-load lands before the merge, exactly like the
+    reference loads snapshot blobs before merging streaming blobs
+    (BigQueryEventConsumer.java:697-753)."""
+    c = _mk(spark, tmp_path, "samebatch")
+    _seed(spark, c)
+    batch = [
+        ("INSERT", 3, 50, 50.0, None, True),    # snapshot insert
+        ("UPDATE", 4, 50, 500.0, 50, False),    # streaming update of it
+    ]
+    m = c.apply_batch("db", "t", spark.createDataFrame(batch, STAGING), 1)
+    assert m["fast_path"] == "snapshot_append" and m["n_snapshot"] == 1
+    state = {r["user_id"]: (r["value"], r[C.SEQUENCE_NUM])
+             for r in c.table("db", "t").read().collect()}
+    assert state[50] == (500.0, 4)  # matched-arm update, not a duplicate
+    assert len([u for u in state if u == 50]) == 1
+
+
 def test_pure_snapshot_batch_on_nonempty_table(spark, tmp_path):
     """Snapshot-only batch against an existing table: direct append, no
     merge, batch committed (advance) in one final commit."""
