@@ -94,6 +94,87 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+RAW_IMAGE_META = T.StructType(
+    [
+        T.StructField("format", T.StringType(), False),  # 'raw8' grayscale
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("payload_meta", RAW_IMAGE_META, True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_h: int, out_w: int, id_col: str = "doc_id") -> DataFrame:
+    """Nearest-neighbor resize of raw 8-bit grayscale image payloads —
+    the decode/resize plumbing a 100 TB image corpus runs per row:
+    Arrow-batched ``mapInPandas``, numpy index-gather per image, typed
+    metadata struct out.  'raw8' needs no codec library, so the whole
+    path (schema, batch shape, UDF signature) is real and exactly
+    testable; a JPEG/PNG deployment swaps the ``frombuffer``+reshape for
+    ``decode_image`` and keeps everything else."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads, metas, ids = [], [], []
+            for did, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["payload_meta"]
+            ):
+                h, w = int(meta["height"]), int(meta["width"])
+                img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = img[np.ix_(ys, xs)]
+                out_payloads.append(out.tobytes())
+                metas.append({"format": "raw8", "width": out_w, "height": out_h})
+                ids.append(did)
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": out_payloads, "payload_meta": metas}
+            )
+
+    return df.select(id_col, "payload", "payload_meta").mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int, every_n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling for raw video payloads (concatenated fixed-size
+    frames): keep every ``every_n``-th frame, one output row per kept
+    frame.  The explode happens inside the Arrow batch — no per-row
+    Spark explode of multi-MB blobs."""
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, "payload").mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def decode_image(payload: bytes, fmt: str):  # pragma: no cover - stub
     """Decode an image payload to HxWxC uint8.  STUB: codec libraries
     (PIL / libjpeg) are not available in this container; the Spark-side

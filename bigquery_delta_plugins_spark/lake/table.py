@@ -195,7 +195,14 @@ class LakeTable:
             # current — true conflict), or a previous attempt of THIS
             # commit crashed after the link but before the pointer swap
             # (file exists, pointer still on the parent) — adopt it.
-            if self.current_snapshot()["snapshot_id"] >= sid:
+            try:
+                cur_sid = self.current_snapshot()["snapshot_id"]
+            except FileNotFoundError:
+                # racing CREATEs before any pointer exists: adopt —
+                # CREATE is conflict-tolerant like the reference's
+                # (BigQueryEventConsumer.java:389-429)
+                cur_sid = -1
+            if cur_sid >= sid:
                 os.remove(tmp)
                 raise CommitConflictError(
                     f"snapshot {sid} of {self.path} was committed "

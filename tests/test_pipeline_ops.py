@@ -274,6 +274,46 @@ def test_multimodal_plumbing(spark, docs):
         assert f["is_ascii"] is True
 
 
+def test_resize_images_nearest_neighbor_exact(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from bigquery_delta_plugins_spark.functions.multimodal import resize_images
+
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)  # 4x6 gradient
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                payload=bytearray(img.tobytes()),
+                payload_meta=Row(format="raw8", width=6, height=4),
+            )
+        ]
+    )
+    out = resize_images(df, out_h=2, out_w=3).collect()[0]
+    ys = (np.arange(2) * 4) // 2
+    xs = (np.arange(3) * 6) // 3
+    expect = img[np.ix_(ys, xs)]
+    assert bytes(out["payload"]) == expect.tobytes()
+    assert out["payload_meta"]["width"] == 3 and out["payload_meta"]["height"] == 2
+
+
+def test_sample_frames_every_nth(spark):
+    from pyspark.sql import Row
+
+    from bigquery_delta_plugins_spark.functions.multimodal import sample_frames
+
+    frames = [bytes([i] * 4) for i in range(10)]  # 10 frames x 4 bytes
+    df = spark.createDataFrame(
+        [Row(doc_id=7, payload=bytearray(b"".join(frames)))]
+    )
+    out = sorted(
+        (r["frame_idx"], bytes(r["frame"]))
+        for r in sample_frames(df, frame_bytes=4, every_n=3).collect()
+    )
+    assert out == [(0, frames[0]), (3, frames[3]), (6, frames[6]), (9, frames[9])]
+
+
 def test_decode_image_is_stubbed():
     from bigquery_delta_plugins_spark.functions.multimodal import decode_image
 
