@@ -293,6 +293,52 @@ SELECT * FROM kept UNION ALL SELECT * FROM applied UNION ALL SELECT * FROM inser
     )
 
 
+def _table_changes_sql() -> str:
+    """Changelog oracle: final-state replay at half vs full, keyed
+    full-outer diff classified insert/update/delete (hard-delete mode,
+    mirroring operators/changes.py::changelog_diff)."""
+    return (
+        "WITH "
+        + _STAGED.strip()
+        + ",\n"
+        + _SPLIT.strip()
+        + ",\n"
+        + _DIFF_TEMPLATE.format(name="d0", src="s0").strip()
+        + ",\n"
+        + _T0.strip()
+        + ",\n"
+        + _DIFF_TEMPLATE.format(name="d1", src="s1").strip()
+        + """,
+applied AS (
+  SELECT d.user_id, d.value, d._sequence_num
+  FROM t0 t JOIN d1 d ON t.user_id = d._before_user_id
+  WHERE d._op <> 'DELETE'
+),
+kept AS (
+  SELECT t.user_id, t.value, t._sequence_num FROM t0 t
+  WHERE NOT EXISTS (SELECT 1 FROM d1 d WHERE d._before_user_id = t.user_id)
+),
+inserted AS (
+  SELECT d.user_id, d.value, d._sequence_num
+  FROM d1 d
+  WHERE d._op <> 'DELETE'
+    AND NOT EXISTS (SELECT 1 FROM t0 t WHERE t.user_id = d._before_user_id)
+),
+t1 AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM applied UNION ALL SELECT * FROM inserted
+)
+SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+       CASE WHEN n._sequence_num IS NOT NULL THEN n.value ELSE o.value END AS value,
+       COALESCE(n._sequence_num, o._sequence_num) AS _sequence_num,
+       CASE WHEN o._sequence_num IS NULL THEN 'insert'
+            WHEN n._sequence_num IS NULL THEN 'delete'
+            WHEN n._sequence_num <> o._sequence_num THEN 'update' END AS _change_type
+FROM t1 n FULL OUTER JOIN t0 o ON n.user_id = o.user_id
+WHERE o._sequence_num IS NULL OR n._sequence_num IS NULL
+   OR n._sequence_num <> o._sequence_num"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from bigquery_delta_plugins_spark.plans import cdc_queries as q
     from bigquery_delta_plugins_spark.plans import pipeline_queries as p
@@ -307,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_max_seq": q.cdc_max_seq,
         "cdc_replay_barrier": q.cdc_replay_barrier,
         "cdc_normalized_projection": q.cdc_normalized_projection,
+        "cdc_table_changes": q.cdc_table_changes,
         **p.QUERIES,
     }
 
@@ -351,4 +398,5 @@ WHERE CAST(FLOOR((_sequence_num - 1) / 2500) AS BIGINT) = 3 AND _sequence_num > 
             'SELECT user_id AS "user_id_", event_type AS "_2type", '
             'COUNT(*) AS "n_events" FROM events GROUP BY user_id, event_type'
         ),
+        "cdc_table_changes": _table_changes_sql(),
     }

@@ -82,6 +82,26 @@ def cdc_final_state(spark: SparkSession, sf_dir: str, soft: bool = False) -> Dat
     )
 
 
+def cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog read: the net insert/update/delete delta between the
+    half-stream state and the full-stream state (one keyed full-outer
+    join; see operators/changes.py).  The lake-integrated form
+    (LakeTable.changes) adds manifest-level bucket pruning on top of the
+    identical classification — covered by tests/test_changes.py."""
+    from ..operators.changes import changelog_diff
+
+    staged = staged_events(spark, sf_dir)
+    half = _half_point(spark, sf_dir)
+    s0 = staged.filter(F.col(C.SEQUENCE_NUM) <= half)
+    s1 = staged.filter(F.col(C.SEQUENCE_NUM) > half)
+    empty = spark.createDataFrame([], TARGET_SCHEMA)
+    t0 = _apply(empty, s0, soft=False)
+    t1 = _apply(t0, s1, soft=False)
+    return changelog_diff(t0, t1, ["user_id"]).select(
+        "user_id", "value", C.SEQUENCE_NUM, "_change_type"
+    )
+
+
 UNORDERED_TARGET_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), True),
