@@ -38,6 +38,20 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def ngram_array(t: Column, n: int) -> Column:
+    """Word n-grams over a token array, space-joined; empty array when
+    the doc is shorter than ``n`` (so an explode drops it, matching the
+    oracle's UNNEST of an empty list).  Pure Catalyst — the sequence/
+    transform/element_at chain stays in whole-stage codegen."""
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def hash32(col: Column) -> Column:
     """Deterministic 32-bit hash shared with the DuckDB oracle:
     first 8 hex digits of md5, as a bigint."""

@@ -67,6 +67,54 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    the fraction of bigram mass held by the single most frequent bigram
+    and the fraction of trigram occurrences whose trigram repeats.
+    Boilerplate / SEO-spam pages spike on both; a 100 TB pre-train
+    filter thresholds them.
+
+    Scale shape: one tagged explode of (n, gram) rows, two hash
+    aggregations keyed by doc — both partial-aggregated map-side — and
+    a final per-doc pivot-free conditional agg.  No Python, no windows,
+    no skew risk beyond doc length (bounded by the corpus schema)."""
+    docs = _docs(spark, sf_dir)
+    t = TX.tokens(F.col("text"))
+    tagged = F.concat(
+        F.transform(
+            TX.ngram_array(t, 2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))
+        ),
+        F.transform(
+            TX.ngram_array(t, 3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))
+        ),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(tagged).alias("g"))
+        .groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = counts.groupBy("doc_id", "n").agg(
+        F.max("c").alias("top"),
+        F.sum("c").alias("tot"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("top"))).alias("top2"),
+        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("tot2"),
+        F.max(F.when(F.col("n") == 3, F.col("dup"))).alias("dup3"),
+        F.max(F.when(F.col("n") == 3, F.col("tot"))).alias("tot3"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("tot2") > 0, F.col("top2") / F.col("tot2"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(F.col("tot3") > 0, F.col("dup3") / F.col("tot3"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     cols = [F.col("doc_id")]
@@ -258,6 +306,45 @@ SELECT d.doc_id,
     + 0.4 * (len(list_distinct(t)) / len(t))
     + 0.3 * (1.0 - len(list_filter(t, x -> x IN ({stop}))) / len(t)) AS quality
 FROM toks JOIN documents d USING (doc_id)"""
+
+
+def _sql_repetition() -> str:
+    return f"""WITH {_TOKS},
+grams AS (
+  SELECT doc_id, n, unnest(g) AS gram FROM (
+    SELECT doc_id, 2 AS n,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                ELSE [] END AS g
+    FROM toks
+    UNION ALL
+    SELECT doc_id, 3 AS n,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END AS g
+    FROM toks)
+),
+counts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, n, gram
+),
+per AS (
+  SELECT doc_id, n, MAX(c) AS top, SUM(c) AS tot,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM counts GROUP BY doc_id, n
+),
+agg AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN top END) AS top2,
+         MAX(CASE WHEN n = 2 THEN tot END) AS tot2,
+         MAX(CASE WHEN n = 3 THEN dup END) AS dup3,
+         MAX(CASE WHEN n = 3 THEN tot END) AS tot3
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN tot2 > 0 THEN CAST(top2 AS DOUBLE) / tot2 ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN tot3 > 0 THEN CAST(dup3 AS DOUBLE) / tot3 ELSE 0.0 END AS dup_trigram_frac
+FROM documents d LEFT JOIN agg USING (doc_id)"""
 
 
 def _sql_lang_id() -> str:
@@ -531,6 +618,7 @@ FROM documents"""
 
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_repetition": text_repetition,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "dedup_exact": dedup_exact,
@@ -550,6 +638,7 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "text_token_stats": _sql_token_stats(),
+        "text_repetition": _sql_repetition(),
         "text_lang_id": _sql_lang_id(),
         "text_fingerprint": _sql_fingerprint(),
         "dedup_exact": _sql_dedup_exact(),
