@@ -441,6 +441,42 @@ class LakeTable:
             }
         )
 
+    def snapshot_for_batch(self, batch_id: int) -> dict | None:
+        """The FINAL commit of ``batch_id`` (two-phase batches also have
+        an intermediate direct-load snapshot; that one never advances
+        ``latest_batch_id``, so it is skipped here)."""
+        snap = self.current_snapshot()
+        while snap is not None:
+            if snap["summary"].get("latest_batch_id", -1) == batch_id and (
+                snap["summary"].get("direct_load_in_progress") is None
+            ):
+                return snap
+            if snap["summary"].get("latest_batch_id", -1) < batch_id:
+                return None
+            snap = (
+                self.snapshot(snap["parent_id"])
+                if snap["parent_id"] is not None
+                else None
+            )
+        return None
+
+    def changes_for_batch(self, batch_id: int) -> DataFrame:
+        """Per-batch CDC-out feed: the changelog of exactly one applied
+        micro-batch — ``changes(<state before the batch>, <the batch's
+        final commit>)``.  A two-phase snapshot-split batch (O5) counts
+        its intermediate direct-load snapshot as part of the batch, so
+        the feed spans both phases.  Raises KeyError if the batch's
+        manifests were vacuumed or the batch was never applied."""
+        to_snap = self.snapshot_for_batch(batch_id)
+        if to_snap is None or to_snap["parent_id"] is None:
+            raise KeyError(f"batch {batch_id} has no committed snapshot")
+        # walk past intermediate snapshots belonging to this same batch
+        # (the direct-load phase) to the last pre-batch state
+        frm = self.snapshot(to_snap["parent_id"])
+        while frm["summary"].get("direct_load_in_progress") == batch_id:
+            frm = self.snapshot(frm["parent_id"])
+        return self.changes(frm["snapshot_id"], to_snap["snapshot_id"])
+
     # -- DDL ------------------------------------------------------------------
 
     def alter_add_columns(

@@ -144,6 +144,70 @@ def test_table_changes_matches_unpruned_diff(spark, tmp_path):
     )
 
 
+def test_changes_for_batch_feed(spark, tmp_path):
+    """Per-batch CDC-out: changes_for_batch(b) equals the snapshot-pair
+    changelog around batch b's commit, for every applied batch."""
+    table, snaps = _build(spark, tmp_path, soft=False)
+    for b in range(3):
+        got = sorted(map(str, table.changes_for_batch(b).collect()))
+        want = sorted(map(str, table.changes(snaps[b], snaps[b + 1]).collect()))
+        assert got == want and got
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        table.changes_for_batch(99)
+
+
+def test_changes_for_batch_spans_two_phase_snapshot_split(spark, tmp_path):
+    """A two-phase O5 batch (direct-load snapshot + merge commit) is ONE
+    batch in the feed: changes_for_batch spans both phases, so the
+    snapshot-loaded rows appear as inserts alongside the merged ones."""
+    c = EventConsumer(spark, str(tmp_path / "wh"), num_buckets=2)
+    src = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    staging = T.StructType(
+        [
+            T.StructField(C.OPERATION, T.StringType(), False),
+            T.StructField(C.SEQUENCE_NUM, T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("_before_user_id", T.LongType(), True),
+            T.StructField(C.SNAPSHOT, T.BooleanType(), True),
+        ]
+    )
+    c.apply_ddl(
+        DDLEvent(DDLOp.CREATE_TABLE, "db", "t", schema=src,
+                 primary_keys=["user_id"])
+    )
+    b0 = spark.createDataFrame(
+        [("INSERT", 1, 1, 1.0, None, None), ("INSERT", 2, 2, 2.0, None, None)],
+        staging,
+    ).drop(C.SNAPSHOT)
+    c.apply_batch("db", "t", b0, 0)
+    mixed = [
+        ("INSERT", 3, 10, 10.0, None, True),   # snapshot portion
+        ("INSERT", 4, 11, 11.0, None, True),
+        ("UPDATE", 5, 1, 100.0, 1, False),     # streaming portion
+    ]
+    m = c.apply_batch("db", "t", spark.createDataFrame(mixed, staging), 1)
+    assert m["fast_path"] == "snapshot_append"
+
+    feed = {
+        r["user_id"]: (r[CHANGE_TYPE], r["value"])
+        for r in c.table("db", "t").changes_for_batch(1).collect()
+    }
+    assert feed == {
+        10: ("insert", 10.0),
+        11: ("insert", 11.0),
+        1: ("update", 100.0),
+    }
+
+
 def test_table_changes_prunes_unchanged_buckets(spark, tmp_path):
     """The physical scans behind changes(a, b) touch ONLY files of
     buckets whose manifest file set differs — a bucket untouched by the
