@@ -39,6 +39,7 @@ from ..normalize import (
 )
 from ..operators.flatten import flatten_batch
 from ..operators.merge import merge_apply
+from ..retry import PermanentFailure, run_with_retry
 from ..types import DDLEvent, DDLOp, SourceProperties
 
 
@@ -64,6 +65,8 @@ class EventConsumer:
         single_job_per_batch: bool = False,
         single_job_merge_strategy: str = "shuffle",
         broadcast_flatten_winners: bool = True,
+        ddl_retry_attempts: int = 3,
+        ddl_retry_base_delay: float = 0.05,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -97,6 +100,8 @@ class EventConsumer:
         # html payloads) must be gated on bytes, not rows, or a 2M-row
         # diff becomes a multi-GB driver broadcast.  Larger diffs fall
         # back to the full-outer shuffle merge.
+        self.ddl_retry_attempts = ddl_retry_attempts
+        self.ddl_retry_base_delay = ddl_retry_base_delay
         self.broadcast_merge_max_rows = broadcast_merge_max_rows
         self.broadcast_merge_max_bytes = broadcast_merge_max_bytes
         # Single-job apply: skip the per-batch stats job entirely — read
@@ -137,8 +142,21 @@ class EventConsumer:
     # ------------------------------------------------------------------- DDL
 
     def apply_ddl(self, event: DDLEvent) -> None:
-        """DDL dispatch (BigQueryEventConsumer.java:297-524).  The driver
-        must flush pending DML for the table first, as the reference does."""
+        """DDL dispatch under the reference's retry policy
+        (BigQueryEventConsumer.java:297-335): transient errors retried
+        with deterministic exponential backoff, PermanentFailure (the
+        DeltaFailureException analogue — unsupported op, manual-drops
+        policy) aborts on the FIRST attempt.  The driver must flush
+        pending DML for the table first, as the reference does."""
+        run_with_retry(
+            lambda: self._apply_ddl_once(event),
+            max_attempts=self.ddl_retry_attempts,
+            base_delay=self.ddl_retry_base_delay,
+        )
+
+    def _apply_ddl_once(self, event: DDLEvent) -> None:
+        """One DDL apply attempt (handleDDL,
+        BigQueryEventConsumer.java:340-524)."""
         op = event.op
         if op == DDLOp.CREATE_DATABASE:
             os.makedirs(
@@ -147,7 +165,7 @@ class EventConsumer:
             )
         elif op == DDLOp.DROP_DATABASE:
             if self.require_manual_drops:
-                raise RuntimeError(
+                raise PermanentFailure(
                     f"database {event.database} must be dropped manually "
                     "(requireManualDrops, BigQueryEventConsumer.java:374-388)"
                 )
@@ -203,7 +221,7 @@ class EventConsumer:
             )
         elif op == DDLOp.DROP_TABLE:
             if self.require_manual_drops:
-                raise RuntimeError(
+                raise PermanentFailure(
                     f"table {event.table} must be dropped manually (requireManualDrops)"
                 )
             path = self._table_path(event.database, event.table)

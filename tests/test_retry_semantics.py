@@ -126,6 +126,66 @@ def test_failed_attempt_then_retry_is_exactly_once(spark, tmp_path):
     ev.unpersist()
 
 
+def test_permanent_ddl_failure_not_retried(spark, tmp_path, monkeypatch):
+    """Permanent errors abort the DDL retry loop on attempt 1
+    (testPermanentFailureIsNotRetriedInProcessDDL,
+    BigQueryConsumerTest.java:723-747): the manual-drops policy
+    violation is a PermanentFailure and is raised after exactly one
+    attempt."""
+    from bigquery_delta_plugins_spark.retry import PermanentFailure
+
+    c = EventConsumer(spark, str(tmp_path / "wh"), num_buckets=2,
+                      require_manual_drops=True, ddl_retry_base_delay=0.0)
+    calls = []
+    orig = EventConsumer._apply_ddl_once
+
+    def counting(self, event):
+        calls.append(event.op)
+        return orig(self, event)
+
+    monkeypatch.setattr(EventConsumer, "_apply_ddl_once", counting)
+    with pytest.raises(PermanentFailure, match="must be dropped manually"):
+        c.apply_ddl(DDLEvent(DDLOp.DROP_TABLE, "db", "t"))
+    assert len(calls) == 1
+
+
+def test_temporary_ddl_failure_retried(spark, tmp_path, monkeypatch):
+    """Transient errors are retried with backoff until success
+    (testTemporaryFailureIsRetriedInProcessDDL,
+    BigQueryConsumerTest.java:749-786); exhausting attempts raises
+    RetriesExhausted with the last error as the cause."""
+    from bigquery_delta_plugins_spark.retry import RetriesExhausted
+
+    c = EventConsumer(spark, str(tmp_path / "wh"), num_buckets=2,
+                      ddl_retry_attempts=3, ddl_retry_base_delay=0.0)
+    ev = DDLEvent(DDLOp.CREATE_TABLE, "db", "t", schema=PAGES,
+                  primary_keys=["url"])
+    calls = []
+    orig = EventConsumer._apply_ddl_once
+
+    def flaky(self, event):
+        calls.append(event.op)
+        if len(calls) < 3:
+            raise OSError("simulated rate limit")
+        return orig(self, event)
+
+    monkeypatch.setattr(EventConsumer, "_apply_ddl_once", flaky)
+    c.apply_ddl(ev)  # third attempt succeeds
+    assert len(calls) == 3
+    assert c.table("db", "t").exists()
+
+    calls.clear()
+
+    def always_down(self, event):
+        calls.append(event.op)
+        raise OSError("still down")
+
+    monkeypatch.setattr(EventConsumer, "_apply_ddl_once", always_down)
+    with pytest.raises(RetriesExhausted, match="exhausted 3 attempts"):
+        c.apply_ddl(DDLEvent(DDLOp.TRUNCATE_TABLE, "db", "t"))
+    assert len(calls) == 3
+
+
 def test_committed_attempt_is_adopted_not_reapplied(spark, tmp_path):
     """Previous attempt SUCCEEDED but the worker died before recording
     the checkpoint (the reference's adopt-previous-job path,
