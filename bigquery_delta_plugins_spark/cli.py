@@ -168,6 +168,35 @@ def cmd_show(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    """CDC-out: print (or export) the changelog between two snapshots or
+    of one applied batch — the lake-native change feed for downstream
+    consumers (see lake/table.py:changes)."""
+    from .lake.table import LakeTable
+    from .normalize import get_normalized_dataset_name, normalize_table_name
+
+    spark = _session(args)
+    db, tb = _split_table(args.table)
+    path = os.path.join(
+        args.warehouse, get_normalized_dataset_name(None, db), normalize_table_name(tb)
+    )
+    t = LakeTable.load(spark, path)
+    if args.batch is not None:
+        df = t.changes_for_batch(args.batch)
+    else:
+        to = args.to_snapshot
+        if to is None:
+            to = t.current_snapshot()["snapshot_id"]
+        df = t.changes(args.from_snapshot, to)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": df.count()}))
+    else:
+        for row in df.toLocalIterator():
+            print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bigquery_delta_plugins_spark")
     p.add_argument("--master", default=None, help="Spark master (default: cluster-provided)")
@@ -204,6 +233,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--warehouse", required=True)
     s.add_argument("--table", required=True)
     s.set_defaults(fn=cmd_show)
+
+    c = sub.add_parser("changes", help="changelog between snapshots / of a batch")
+    c.add_argument("--warehouse", required=True)
+    c.add_argument("--table", required=True)
+    c.add_argument("--batch", type=int, default=None,
+                   help="emit exactly one applied batch's changes")
+    c.add_argument("--from-snapshot", type=int, default=0)
+    c.add_argument("--to-snapshot", type=int, default=None,
+                   help="default: current snapshot")
+    c.add_argument("--out", default=None, help="write parquet instead of JSONL stdout")
+    c.set_defaults(fn=cmd_changes)
     return p
 
 

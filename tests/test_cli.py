@@ -42,3 +42,21 @@ def test_cli_gen_apply_show_roundtrip(spark, tmp_path, capsys):
     assert out["rows"] == rows and out["summary"]["latest_merged_seq"] == 2000
     # lineage emitted per batch next to the warehouse checkpoint
     assert os.path.exists(os.path.join(wh, "_cp", "lineage.jsonl"))
+
+    # CDC-out: one batch's changelog as JSONL, full span as parquet
+    assert main(base + [
+        "changes", "--warehouse", wh, "--table", "web.pages", "--batch", "1",
+    ]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines and all(
+        l["_change_type"] in ("insert", "update", "delete") for l in lines
+    )
+
+    chg_out = str(tmp_path / "chg")
+    assert main(base + [
+        "changes", "--warehouse", wh, "--table", "web.pages",
+        "--from-snapshot", "0", "--out", chg_out,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # full-span changelog of an insert-heavy stream ~= final live rows
+    assert out["rows"] >= rows
