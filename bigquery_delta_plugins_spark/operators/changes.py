@@ -53,7 +53,10 @@ def changelog_diff(
 ) -> DataFrame:
     """Net row-level changes turning state ``old`` into state ``new``.
 
-    Both inputs are table states (one live row per key) carrying
+    Both inputs are table states (one live row per key — the invariant
+    every valid binlog maintains; pathological streams of repeated bare
+    INSERTs can create duplicate-key states via the reference's
+    NOT-MATCHED arm, and the changelog is undefined over those) carrying
     ``_sequence_num`` and optionally ``_is_deleted``.  Output has the
     union of data columns plus ``_change_type``; unchanged keys are
     filtered out before any downstream exchange.
