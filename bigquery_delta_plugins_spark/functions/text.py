@@ -38,6 +38,33 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+# PII patterns restricted to constructs Java regex and RE2 (DuckDB)
+# evaluate identically (no lookaround, no backrefs).  Applied in dict
+# order — order matters for overlap, so the oracle applies the same one.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IPV4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "PHONE": r"\+?\d[\d -]{7,}\d",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (pre-redaction)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0))
+    ).cast("long")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a ``<KIND>`` placeholder, patterns
+    applied in PII_PATTERNS order.  Pure Catalyst regexp_replace chain —
+    whole-stage codegen, no Python."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind}>")
+    return out
+
+
 def ngram_array(t: Column, n: int) -> Column:
     """Word n-grams over a token array, space-joined; empty array when
     the doc is shorter than ``n`` (so an explode drops it, matching the
