@@ -213,6 +213,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (nightly crawl vs historical corpus):
+    even-doc_id docs are the 'already ingested' history, odd-doc_id docs
+    the new crawl; output = new docs whose text is NOT in history.
+    Bloom prefilter + exact verify (operators/dedup.py:
+    incremental_dedup_bloom) — the oracle is the plain NOT EXISTS, which
+    the bloom+rescue plan reproduces bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    return DD.incremental_dedup_bloom(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "doc_id",
+        "text",
+        m_bits=1 << 18,
+        k=5,
+    )
+
+
 # --------------------------------------------------------------- similarity
 
 
@@ -441,6 +459,14 @@ def _sql_dedup_exact() -> str:
         "SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id, "
         "count(*) AS n_docs FROM documents GROUP BY md5(text)"
     )
+
+
+def _sql_dedup_incremental() -> str:
+    return """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents h
+                  WHERE h.doc_id % 2 = 0 AND h.text = d.text)"""
 
 
 def _sql_dedup_jaccard() -> str:
@@ -685,6 +711,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -706,6 +733,7 @@ def oracles() -> dict[str, str]:
         "text_lang_id": _sql_lang_id(),
         "text_fingerprint": _sql_fingerprint(),
         "dedup_exact": _sql_dedup_exact(),
+        "dedup_incremental": _sql_dedup_incremental(),
         "dedup_ngram_jaccard": _sql_dedup_jaccard(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_simhash": _sql_dedup_simhash(),

@@ -325,3 +325,33 @@ def test_decode_image_is_stubbed():
         pass
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG", "png")
+
+
+def test_incremental_dedup_bloom_exact_under_heavy_false_positives(spark):
+    """The bloom is an optimization, never a correctness dependency: with
+    a deliberately tiny bitmap (64 bits for 40 history docs -> most new
+    docs are bloom-positive) the exact-verify rescue join still yields
+    precisely the anti-join result; and with a roomy bitmap the
+    definitely-new fraction is substantial (the prefilter actually
+    prunes)."""
+    from bigquery_delta_plugins_spark.operators.dedup import (
+        incremental_dedup_bloom,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"history doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"history doc {i}") for i in range(0, 20)]  # dups
+        + [(200 + i, f"fresh doc {i}") for i in range(25)],    # new
+        "doc_id long, text string",
+    )
+    want = {200 + i for i in range(25)}
+
+    tiny = incremental_dedup_bloom(new, hist, "doc_id", "text",
+                                   m_bits=64, k=3)
+    assert {r["doc_id"] for r in tiny.collect()} == want
+
+    roomy = incremental_dedup_bloom(new, hist, "doc_id", "text",
+                                    m_bits=1 << 16, k=5)
+    assert {r["doc_id"] for r in roomy.collect()} == want
