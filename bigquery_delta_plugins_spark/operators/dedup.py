@@ -40,19 +40,27 @@ SIMHASH_BITS = 32
 SIMHASH_BAND_BITS = 8
 
 
-def shingle_array(text: Column, k: int = 3) -> Column:
-    """Word k-shingles: ``concat_ws(' ', tokens[i:i+k])`` for every
-    window; short docs yield one (partial) shingle."""
-    toks = tokens(text)
+def shingle_array(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles over a TOKEN-ARRAY column: ``concat_ws(' ',
+    toks[i:i+k])`` for every window; short docs yield one (partial)
+    shingle.  Pass a bound column (``withColumn`` first), not a raw
+    ``split(...)`` expression — an outer expression referenced inside a
+    transform lambda is re-evaluated PER ELEMENT (the HOF-capture
+    pitfall; measured 13s -> 0.8s on the n-gram twin of this function)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) with per-doc distinct shingles (set semantics)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingle_array(F.col(text_col), k))).alias("shingle"),
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(shingle_array(F.col("__toks"), k))
+            ).alias("shingle"),
+        )
     )
 
 
