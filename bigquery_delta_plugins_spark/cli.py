@@ -197,6 +197,25 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Maintenance: bin-pack crowded buckets (state-neutral), optionally
+    vacuum superseded files afterwards."""
+    from .lake.table import LakeTable
+    from .normalize import get_normalized_dataset_name, normalize_table_name
+
+    spark = _session(args)
+    db, tb = _split_table(args.table)
+    path = os.path.join(
+        args.warehouse, get_normalized_dataset_name(None, db), normalize_table_name(tb)
+    )
+    t = LakeTable.load(spark, path)
+    stats = t.compact(max_files_per_bucket=args.max_files_per_bucket)
+    if args.vacuum:
+        stats["vacuum"] = t.vacuum(keep_snapshots=args.keep_snapshots)
+    print(json.dumps(stats))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bigquery_delta_plugins_spark")
     p.add_argument("--master", default=None, help="Spark master (default: cluster-provided)")
@@ -244,6 +263,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: current snapshot")
     c.add_argument("--out", default=None, help="write parquet instead of JSONL stdout")
     c.set_defaults(fn=cmd_changes)
+
+    k = sub.add_parser("compact", help="bin-pack crowded buckets (state-neutral)")
+    k.add_argument("--warehouse", required=True)
+    k.add_argument("--table", required=True)
+    k.add_argument("--max-files-per-bucket", type=int, default=1)
+    k.add_argument("--vacuum", action="store_true",
+                   help="expire superseded snapshots/files afterwards")
+    k.add_argument("--keep-snapshots", type=int, default=1)
+    k.set_defaults(fn=cmd_compact)
     return p
 
 

@@ -510,6 +510,45 @@ class LakeTable:
             snap, new, snap["files"], snap["summary"], snap["properties"]
         )
 
+    def compact(self, max_files_per_bucket: int = 1) -> dict:
+        """Bin-pack small files: rewrite every bucket holding more than
+        ``max_files_per_bucket`` files into one file per bucket, in a
+        state-neutral snapshot commit (same rows, same summary — batch
+        bookkeeping untouched, so exactly-once replay is unaffected).
+
+        A CDC lake accretes files: each merge commit rewrites touched
+        buckets but appends/direct-loads can land extra files, and scan
+        cost compounds with file count (measured in BENCH/BASELINE.md:
+        43s -> 315s per batch when file counts run away).  Compaction is
+        the steady-state antidote — the analogue of Iceberg's
+        rewrite_data_files.  Old files stay referenced by older
+        snapshots (time travel intact) until vacuum() expires them.
+        """
+        snap = self.current_snapshot()
+        by_bucket: dict[int, list] = {}
+        for f in snap["files"]:
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        crowded = {
+            b for b, fs in by_bucket.items() if len(fs) > max_files_per_bucket
+        }
+        if not crowded:
+            return {"buckets_compacted": 0, "files_before": len(snap["files"]),
+                    "files_after": len(snap["files"]), "snapshot_id": snap["snapshot_id"]}
+        schema = T.StructType.fromJson(snap["schema"])
+        rows = self.read(snapshot_id=snap["snapshot_id"], buckets=crowded)
+        new_files = self._write_data_files(rows, schema, repartition=True)
+        kept = [f for f in snap["files"] if f["bucket"] not in crowded]
+        new_snap = self._write_snapshot(
+            snap, snap["schema"], kept + new_files, dict(snap["summary"]),
+            snap["properties"],
+        )
+        return {
+            "buckets_compacted": len(crowded),
+            "files_before": len(snap["files"]),
+            "files_after": len(new_snap["files"]),
+            "snapshot_id": new_snap["snapshot_id"],
+        }
+
     def vacuum(self, keep_snapshots: int = 1) -> dict:
         """Garbage-collect data files not referenced by the most recent
         ``keep_snapshots`` manifests, and drop older manifests.  Crashed

@@ -52,6 +52,17 @@ def test_cli_gen_apply_show_roundtrip(spark, tmp_path, capsys):
         l["_change_type"] in ("insert", "update", "delete") for l in lines
     )
 
+    # maintenance: compact + vacuum through the CLI, state preserved
+    assert main(base + [
+        "compact", "--warehouse", wh, "--table", "web.pages", "--vacuum",
+        "--keep-snapshots", "50",  # retain history: changelog reads below
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_after"] <= out["files_before"] and "vacuum" in out
+    assert main(base + ["show", "--warehouse", wh, "--table", "web.pages"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == rows
+
     chg_out = str(tmp_path / "chg")
     assert main(base + [
         "changes", "--warehouse", wh, "--table", "web.pages",

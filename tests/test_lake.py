@@ -154,3 +154,63 @@ def test_create_conflict(spark, table, tmp_path):
     # if_not_exists mirrors the reference's conflict tolerance
     t2 = LakeTable.create(spark, str(tmp_path / "t"), TARGET, ["id"], if_not_exists=True)
     assert t2.exists()
+
+
+def test_compact_is_state_neutral_and_reduces_files(spark, tmp_path):
+    """compact(): crowded buckets rewrite to one file each in a
+    state-neutral commit — rows, batch bookkeeping, and time travel all
+    unchanged; vacuum afterwards reclaims the superseded files; the next
+    batch applies normally on the compacted layout."""
+    import os as _os
+
+    from bigquery_delta_plugins_spark import constants as C
+    from bigquery_delta_plugins_spark.sources.gen import synth_events
+    from bigquery_delta_plugins_spark.streaming.consumer import EventConsumer
+    from bigquery_delta_plugins_spark.types import DDLEvent, DDLOp
+
+    from test_consumer import PAGES
+
+    c = EventConsumer(spark, str(tmp_path / "wh"), num_buckets=4, salt_buckets=2)
+    c.apply_ddl(
+        DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=PAGES,
+                 primary_keys=["url"])
+    )
+    ev = synth_events(spark, 1500, 80, batch_size=300).cache()
+    for b in range(4):
+        c.apply_batch("web", "pages", ev.filter(ev[C.BATCH_ID] == b), b)
+    t = c.table("web", "pages")
+    pre = t.current_snapshot()
+    state = sorted(map(str, t.read().collect()))
+
+    stats = t.compact(max_files_per_bucket=1)
+    post = t.current_snapshot()
+    assert stats["files_after"] <= stats["files_before"]
+    per_bucket: dict = {}
+    for f in post["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert all(n == 1 for n in per_bucket.values())
+    # state-neutral: rows identical, bookkeeping untouched
+    assert sorted(map(str, t.read().collect())) == state
+    assert post["summary"]["latest_batch_id"] == pre["summary"]["latest_batch_id"]
+    assert post["summary"]["latest_merged_seq"] == pre["summary"]["latest_merged_seq"]
+    # time travel to the pre-compaction snapshot still reads old files
+    assert sorted(map(str, t.read(snapshot_id=pre["snapshot_id"]).collect())) == state
+    # idempotent: nothing crowded now
+    assert t.compact(max_files_per_bucket=1)["buckets_compacted"] == 0
+    # the changelog across a compaction commit is EMPTY (rows identical
+    # even though every crowded bucket's file set changed)
+    assert t.changes(pre["snapshot_id"], post["snapshot_id"]).count() == 0
+
+    # next batch applies on the compacted layout; replay barrier intact
+    c.apply_batch("web", "pages", ev.filter(ev[C.BATCH_ID] == 4), 4)
+    assert t.latest_batch_id() == 4 and t.latest_merged_seq() == 1500
+
+    # vacuum drops the superseded pre-compaction files
+    t.vacuum(keep_snapshots=1)
+    on_disk = sum(
+        n.endswith(".parquet")
+        for _r, _d, names in _os.walk(_os.path.join(t.path, "data"))
+        for n in names
+    )
+    assert on_disk == len(t.current_snapshot()["files"])
+    ev.unpersist()
