@@ -310,6 +310,17 @@ def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_by_count(ev, "user_id", TOPK_USERS)
 
 
+def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-min event-time windows with order-independent
+    aggregates (operators/windows.py) — the batch twin of the
+    watermarked streaming aggregation (windowed_counts_stream, late-data
+    bounds covered by tests/test_windows.py)."""
+    from ..operators.windows import windowed_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_counts(ev, "ts", 15)
+
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -681,6 +692,20 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s2 GROUP BY user_id, session_id"""
 
 
+def _sql_windowed_counts() -> str:
+    # make_timestamp(micros) keeps the window start a NAIVE timestamp,
+    # matching Spark's TIMESTAMP_NTZ window bounds (to_timestamp would
+    # produce TIMESTAMPTZ and shift under a session zone)
+    return """SELECT
+  make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 * 1000000)
+    AS window_start,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  MIN(event_id) AS min_event_id,
+  MAX(event_id) AS max_event_id
+FROM events GROUP BY 1"""
+
+
 def _sql_topk_users() -> str:
     return (
         "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
@@ -721,6 +746,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "multimodal_features": multimodal_features,
     "events_sessionize": events_sessionize,
+    "events_windowed_counts": events_windowed_counts,
     "events_topk_users": events_topk_users,
 }
 
@@ -743,5 +769,6 @@ def oracles() -> dict[str, str]:
         "ann_topk_ivf": _sql_ann_ivf(),
         "multimodal_features": _sql_multimodal(),
         "events_sessionize": _sql_sessionize(),
+        "events_windowed_counts": _sql_windowed_counts(),
         "events_topk_users": _sql_topk_users(),
     }
