@@ -279,6 +279,66 @@ def test_changelog_replay_property(spark, tmp_path):
     prop()
 
 
+def test_changes_across_schema_evolution_and_truncate(spark, tmp_path):
+    """Changelog across an ALTER (old snapshot lacks the added column —
+    surfaces NULL in preimages) and across a TRUNCATE (every surviving
+    key becomes a delete)."""
+    src = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    staging = T.StructType(
+        [
+            T.StructField(C.OPERATION, T.StringType(), False),
+            T.StructField(C.SEQUENCE_NUM, T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("_before_user_id", T.LongType(), True),
+        ]
+    )
+    c = EventConsumer(spark, str(tmp_path / "wh"), num_buckets=2)
+    c.apply_ddl(DDLEvent(DDLOp.CREATE_TABLE, "db", "t", schema=src,
+                         primary_keys=["user_id"]))
+    c.apply_batch("db", "t", spark.createDataFrame(
+        [("INSERT", 1, 1, 1.0, None), ("INSERT", 2, 2, 2.0, None)], staging), 0)
+    t = c.table("db", "t")
+    s_before_alter = t.current_snapshot()["snapshot_id"]
+
+    # ALTER: add nullable col, then a batch writes it for one key
+    wide = T.StructType(src.fields + [T.StructField("extra", T.StringType(), True)])
+    c.apply_ddl(DDLEvent(DDLOp.ALTER_TABLE, "db", "t", schema=wide))
+    staging2 = T.StructType(
+        staging.fields[:4]
+        + [T.StructField("extra", T.StringType(), True)]
+        + staging.fields[4:]
+    )
+    c.apply_batch("db", "t", spark.createDataFrame(
+        [("UPDATE", 3, 1, 10.0, "x", 1)], staging2), 1)
+    t = c.table("db", "t")
+    chg = {
+        r["user_id"]: (r[CHANGE_TYPE], r["value"], r["extra"])
+        for r in t.changes(
+            s_before_alter, t.current_snapshot()["snapshot_id"]
+        ).collect()
+    }
+    assert chg == {1: ("update", 10.0, "x")}
+
+    # TRUNCATE: all live keys become hard deletes in the changelog
+    s_pre_trunc = t.current_snapshot()["snapshot_id"]
+    c.apply_ddl(DDLEvent(DDLOp.TRUNCATE_TABLE, "db", "t"))
+    t = c.table("db", "t")
+    chg2 = {
+        r["user_id"]: r[CHANGE_TYPE]
+        for r in t.changes(
+            s_pre_trunc, t.current_snapshot()["snapshot_id"]
+        ).collect()
+    }
+    assert chg2 == {1: "delete", 2: "delete"}
+    assert t.read().count() == 0
+
+
 def test_table_changes_prunes_unchanged_buckets(spark, tmp_path):
     """The physical scans behind changes(a, b) touch ONLY files of
     buckets whose manifest file set differs — a bucket untouched by the
