@@ -106,3 +106,32 @@ def test_shuffle_merge_uses_key_exchange(spark):
     diff = spark.createDataFrame([], schemas.staging_schema(PAGES)).drop(C.BATCH_ID)
     plan = plan_of(merge_apply(target, diff, ["url"], strategy="shuffle"))
     assert "FullOuter" in plan or "SortMergeJoin" in plan or "Exchange" in plan, plan
+
+
+def test_changelog_diff_is_single_keyed_join(spark, tmp_path):
+    """The snapshot diff is ONE keyed full-outer join (SortMergeJoin
+    FullOuter, or broadcast if AQE so decides) with exactly one exchange
+    per side — no extra shuffles, no BroadcastNestedLoopJoin, and the
+    unchanged-key filter sits above the join, not in a second pass."""
+    from bigquery_delta_plugins_spark.operators.changes import changelog_diff
+
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    rows = [(i, float(i), i + 1, None) for i in range(500)]
+    schema = "user_id long, value double, _sequence_num long, _is_deleted boolean"
+    spark.createDataFrame(rows, schema).write.parquet(old_p)
+    spark.createDataFrame(rows[100:] + [(1000, 1.0, 9999, None)], schema).write.parquet(new_p)
+    df = changelog_diff(
+        spark.read.parquet(old_p), spark.read.parquet(new_p), ["user_id"]
+    )
+    plan = plan_of(df)
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    import re
+
+    # the formatted plan prints each operator once in the tree and once
+    # in the detail section — count unique operator ids
+    joins = re.findall(r"^\(\d+\) (\w*Join)", plan, re.M)
+    assert joins in (["SortMergeJoin"], ["ShuffledHashJoin"],
+                     ["BroadcastHashJoin"]), joins
+    exchanges = re.findall(r"^\(\d+\) (Exchange)", plan, re.M)
+    assert len(exchanges) <= 2, plan
