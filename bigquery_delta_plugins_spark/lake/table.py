@@ -510,6 +510,51 @@ class LakeTable:
             snap, new, snap["files"], snap["summary"], snap["properties"]
         )
 
+    def history(self) -> DataFrame:
+        """Metadata table (Iceberg ``<table>.history``/``snapshots``
+        analogue): one row per retained snapshot — id, parent, batch and
+        sequence bookkeeping, file count.  Driver-side manifest reads
+        only; no data files touched."""
+        rows = []
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        for n in sorted(os.listdir(mdir)):
+            if not n.startswith("snap-"):
+                continue
+            s = self.snapshot(int(n[len("snap-"):-len(".json")]))
+            rows.append(
+                (
+                    s["snapshot_id"],
+                    s["parent_id"],
+                    s["summary"].get("latest_batch_id", -1),
+                    s["summary"].get("latest_merged_seq", 0),
+                    s["summary"].get("direct_load_in_progress"),
+                    len(s["files"]),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, latest_batch_id long, "
+            "latest_merged_seq long, direct_load_in_progress long, n_files long",
+        )
+
+    def files(self, snapshot_id: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg ``<table>.files`` analogue): the data
+        files of a snapshot with bucket and on-disk size."""
+        snap = (
+            self.current_snapshot() if snapshot_id is None
+            else self.snapshot(snapshot_id)
+        )
+        rows = []
+        for f in snap["files"]:
+            p = os.path.join(self.path, f["path"])
+            rows.append(
+                (snap["snapshot_id"], f["path"], f["bucket"],
+                 os.path.getsize(p) if os.path.exists(p) else None)
+            )
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, path string, bucket int, size_bytes long"
+        )
+
     def compact(self, max_files_per_bucket: int = 1) -> dict:
         """Bin-pack small files: rewrite every bucket holding more than
         ``max_files_per_bucket`` files into one file per bucket, in a

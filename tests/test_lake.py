@@ -214,3 +214,25 @@ def test_compact_is_state_neutral_and_reduces_files(spark, tmp_path):
     )
     assert on_disk == len(t.current_snapshot()["files"])
     ev.unpersist()
+
+
+def test_metadata_tables_history_and_files(spark, tmp_path):
+    """history()/files() metadata tables mirror the manifests: one row
+    per snapshot with monotone bookkeeping, and per-file bucket+size for
+    any retained snapshot (time-travel included)."""
+    path = str(tmp_path / "meta")
+    t = LakeTable.create(spark, path, TARGET, ["id"], num_buckets=2)
+    t.append(target_rows(spark, [(1, "a", 1)]), batch_id=0)
+    t.append(target_rows(spark, [(2, "b", 2)]), batch_id=1)
+
+    h = {r["snapshot_id"]: r for r in t.history().collect()}
+    assert sorted(h) == [0, 1, 2]
+    assert h[0]["latest_batch_id"] == -1 and h[0]["n_files"] == 0
+    assert h[1]["latest_batch_id"] == 0 and h[1]["parent_id"] == 0
+    assert h[2]["latest_batch_id"] == 1 and h[2]["n_files"] > h[1]["n_files"]
+
+    f_now = t.files().collect()
+    assert len(f_now) == h[2]["n_files"]
+    assert all(r["size_bytes"] > 0 and r["bucket"] in (0, 1) for r in f_now)
+    # time travel: snapshot 1's file list is smaller
+    assert len(t.files(snapshot_id=1).collect()) == h[1]["n_files"]
