@@ -187,3 +187,62 @@ def test_unordered_trio(spark, strategy):
         (5, 100, (35, 0, "a"), "UPDATE", 1, "v1", 1, "v4"),
     ], batch=3, last_seq=4, strategy=strategy)
     assert u_state(t3) == {(1, "v4", 5, None, (35, 0, "a"))}
+
+
+RID_STAGING = schemas.staging_schema(SOURCE, row_id_supported=True)
+
+
+def staged_rid(spark, rows, batch=1):
+    data = [
+        {
+            C.OPERATION: op, C.BATCH_ID: batch, C.SEQUENCE_NUM: seq,
+            C.ROW_ID: rid, "id": i, "name": n,
+        }
+        for (seq, op, rid, i, n) in rows
+    ]
+    return spark.createDataFrame(data, RID_STAGING)
+
+
+def apply_batch_rid(spark, target, rows, batch=1, last_seq=0, strategy="shuffle"):
+    diff = flatten_batch(
+        staged_rid(spark, rows, batch), ["id"], batch_id=batch,
+        latest_merged_seq=last_seq, row_id_supported=True,
+    )
+    return merge_apply(target, diff, ["id"], row_id_supported=True,
+                       strategy=strategy)
+
+
+def state_rid(df):
+    return {
+        (r[C.ROW_ID], r["id"], r["name"], r[C.SEQUENCE_NUM]) for r in df.collect()
+    }
+
+
+def test_row_id_source_merge_end_state(spark, strategy):
+    """Row-id sources: the MERGE joins on _row_id instead of _before_*
+    key columns (createMergeQuery's rowIdSupported branch,
+    BigQueryEventConsumer.java:1236-1247,1258-1262).  Insert two rows,
+    then per row-id: update one (PK value may even change — identity is
+    the row id), delete the other, insert a third; a second update of
+    the same row id inside the batch collapses in the flatten."""
+    t0 = empty_target(spark)
+    t1 = apply_batch_rid(spark, t0, [
+        (1, "INSERT", "r1", 0, "alice"),
+        (2, "INSERT", "r2", 1, "bob"),
+    ], strategy=strategy)
+    assert state_rid(t1) == {("r1", 0, "alice", 1), ("r2", 1, "bob", 2)}
+
+    t2 = apply_batch_rid(spark, t1, [
+        (3, "UPDATE", "r1", 7, "alice2"),   # PK value moves, row id stays
+        (4, "UPDATE", "r1", 8, "alice3"),   # same row id, later seq wins
+        (5, "DELETE", "r2", 1, "bob"),
+        (6, "INSERT", "r3", 2, "carol"),
+    ], batch=2, last_seq=2, strategy=strategy)
+    assert state_rid(t2) == {("r1", 8, "alice3", 4), ("r3", 2, "carol", 6)}
+
+    # replaying the same batch against the barrier is a no-op
+    t3 = apply_batch_rid(spark, t2, [
+        (3, "UPDATE", "r1", 7, "alice2"),
+        (5, "DELETE", "r2", 1, "bob"),
+    ], batch=2, last_seq=6, strategy=strategy)
+    assert state_rid(t3) == state_rid(t2)
