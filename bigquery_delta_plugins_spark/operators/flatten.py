@@ -68,7 +68,15 @@ def replay_filter(
     batch_id: int | None = None,
     latest_merged_seq: int | None = None,
 ) -> DataFrame:
-    """Idempotent replay barrier (BigQueryEventConsumer.java:1211-1222,643-648)."""
+    """Idempotent replay barrier (BigQueryEventConsumer.java:1211-1222,643-648).
+
+    The batch/seq bounds are deliberately baked as LITERALS each batch
+    (round-1 review suggested parameterizing to reuse compiled plans):
+    only literal predicates reach the parquet scan as PushedFilters /
+    partition pruning (asserted by tests/test_plans.py), and at
+    10^10-event scale an unpruned staged scan dwarfs any per-batch
+    plan-compilation cost.  The serial floor was cut instead by folding
+    driver actions (BENCH/BASELINE.md per-batch job-count table)."""
     if batch_id is not None:
         staged = staged.filter(F.col(C.BATCH_ID) == F.lit(batch_id))
     if latest_merged_seq is not None:
