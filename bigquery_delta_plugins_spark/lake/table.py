@@ -594,6 +594,56 @@ class LakeTable:
             "snapshot_id": new_snap["snapshot_id"],
         }
 
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Partition evolution (Iceberg ``REPLACE PARTITION FIELD``
+        analogue): rewrite the table under a new bucket count in one
+        state-neutral snapshot commit — the lever for a table that
+        outgrew its layout (a 32-bucket table at 100x the data has
+        multi-GB buckets; co-located merges and bucket pruning both
+        degrade).  Batch/seq bookkeeping is untouched, so exactly-once
+        replay and the seq barrier survive the change; subsequent
+        merges read ``num_buckets`` from table properties and route by
+        the new layout automatically.  Changelog reads across the
+        rebucket commit remain correct (every bucket's file set
+        changes, so the manifest diff prunes nothing — and the keyed
+        diff then finds zero changed rows)."""
+        if new_num_buckets < 1:
+            raise ValueError(new_num_buckets)
+        snap = self.current_snapshot()
+        if new_num_buckets == snap["properties"]["num_buckets"]:
+            return {"rebucketed": False,
+                    "num_buckets": new_num_buckets,
+                    "snapshot_id": snap["snapshot_id"]}
+        schema = T.StructType.fromJson(snap["schema"])
+        rows = self.read(snapshot_id=snap["snapshot_id"])
+        props = {**snap["properties"], "num_buckets": new_num_buckets}
+        # _write_data_files routes by the CURRENT snapshot's bucket
+        # count, so commit the property change through a staged snapshot
+        # object: write files under the new count explicitly here.
+        pks = snap["properties"]["primary_keys"]
+        out_rel = os.path.join(_DATA_DIR, f"w-{uuid.uuid4().hex}")
+        out_abs = os.path.join(self.path, out_rel)
+        cols = [f.name for f in schema.fields]
+        bucketed = rows.select(*cols).withColumn(
+            "__bucket", bucket_expr(pks, new_num_buckets)
+        ).repartition(F.col("__bucket"))
+        bucketed.write.partitionBy("__bucket").parquet(out_abs)
+        entries = []
+        for root, _dirs, names in os.walk(out_abs):
+            for n in names:
+                if n.endswith(".parquet"):
+                    b = int(os.path.basename(root).split("=", 1)[1])
+                    entries.append({
+                        "path": os.path.relpath(os.path.join(root, n), self.path),
+                        "bucket": b,
+                    })
+        new_snap = self._write_snapshot(
+            snap, snap["schema"], entries, dict(snap["summary"]), props
+        )
+        return {"rebucketed": True, "num_buckets": new_num_buckets,
+                "n_files": len(entries),
+                "snapshot_id": new_snap["snapshot_id"]}
+
     def vacuum(self, keep_snapshots: int = 1) -> dict:
         """Garbage-collect data files not referenced by the most recent
         ``keep_snapshots`` manifests, and drop older manifests.  Crashed

@@ -33,7 +33,13 @@ both, identical                (filtered)     —
 
 "Tombstone" means ``_is_deleted IS TRUE`` (soft-delete mode, O30); in
 hard-delete mode rows physically disappear and only the third arm
-fires.  The classification is deliberately expressible in ANSI SQL so
+fires.  NOTE for consumers: even in soft-delete mode a ``delete`` row
+can be a PHYSICAL removal — the merge's PK-move arm drops the old key
+outright (the reference's UPDATE arm replaces the row under the new
+key, BigQueryEventConsumer.java:1331-1359) — so replay logic must
+branch on the row image, not the mode: ``_is_deleted IS TRUE`` means
+upsert-the-tombstone, anything else means remove-the-key (found by the
+hypothesis property in tests/test_changes.py).  The classification is deliberately expressible in ANSI SQL so
 the driver oracle (``__spark_entry__.oracle_sql()['cdc_table_changes']``)
 can replay it verbatim in DuckDB.
 """

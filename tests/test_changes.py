@@ -268,8 +268,11 @@ def test_changelog_replay_property(spark, tmp_path):
             for r in chg:
                 ctype = r.pop(CHANGE_TYPE)
                 r.pop("_from_snapshot_id"), r.pop("_to_snapshot_id")
-                if ctype == "delete" and not soft:
-                    old.pop(r["url"], None)  # hard delete: key vanishes
+                if ctype == "delete" and r.get(C.IS_DELETED) is not True:
+                    # physical removal: hard-delete mode, or the old key
+                    # of a PK-move (which vanishes even in soft mode) —
+                    # distinguished from a tombstone upsert by the image
+                    old.pop(r["url"], None)
                 else:
                     old[r["url"]] = r  # postimage (incl. soft tombstone)
             want = {r["url"]: r.asDict() for r in rows}

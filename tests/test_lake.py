@@ -236,3 +236,49 @@ def test_metadata_tables_history_and_files(spark, tmp_path):
     assert all(r["size_bytes"] > 0 and r["bucket"] in (0, 1) for r in f_now)
     # time travel: snapshot 1's file list is smaller
     assert len(t.files(snapshot_id=1).collect()) == h[1]["n_files"]
+
+
+def test_rebucket_partition_evolution(spark, tmp_path):
+    """rebucket(): state-neutral layout change — rows identical, new
+    bucket routing adopted by subsequent merges, changelog across the
+    rebucket commit empty, time travel to the old layout intact."""
+    from bigquery_delta_plugins_spark import constants as C
+    from bigquery_delta_plugins_spark.sources.gen import synth_events
+    from bigquery_delta_plugins_spark.streaming.consumer import EventConsumer
+    from bigquery_delta_plugins_spark.types import DDLEvent, DDLOp
+
+    from test_consumer import PAGES
+
+    c = EventConsumer(spark, str(tmp_path / "wh"), num_buckets=4, salt_buckets=2)
+    c.apply_ddl(
+        DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=PAGES,
+                 primary_keys=["url"])
+    )
+    ev = synth_events(spark, 1200, 60, batch_size=400).cache()
+    for b in range(2):
+        c.apply_batch("web", "pages", ev.filter(ev[C.BATCH_ID] == b), b)
+    t = c.table("web", "pages")
+    pre = t.current_snapshot()
+    state = sorted(map(str, t.read().collect()))
+
+    stats = t.rebucket(8)
+    assert stats["rebucketed"] and stats["num_buckets"] == 8
+    t = c.table("web", "pages")
+    post = t.current_snapshot()
+    assert t.num_buckets == 8
+    assert {f["bucket"] for f in post["files"]} <= set(range(8))
+    assert len({f["bucket"] for f in post["files"]}) > 4  # actually spread
+    assert sorted(map(str, t.read().collect())) == state
+    assert post["summary"]["latest_batch_id"] == pre["summary"]["latest_batch_id"]
+    # changelog across the rebucket commit is empty; old layout readable
+    assert t.changes(pre["snapshot_id"], post["snapshot_id"]).count() == 0
+    assert sorted(map(str, t.read(snapshot_id=pre["snapshot_id"]).collect())) == state
+    # no-op when the count is unchanged
+    assert t.rebucket(8)["rebucketed"] is False
+
+    # the next batch merges under the NEW layout
+    c.apply_batch("web", "pages", ev.filter(ev[C.BATCH_ID] == 2), 2)
+    t2 = c.table("web", "pages")
+    assert t2.latest_batch_id() == 2 and t2.latest_merged_seq() == 1200
+    assert {f["bucket"] for f in t2.current_snapshot()["files"]} <= set(range(8))
+    ev.unpersist()
