@@ -209,7 +209,10 @@ def cmd_compact(args) -> int:
         args.warehouse, get_normalized_dataset_name(None, db), normalize_table_name(tb)
     )
     t = LakeTable.load(spark, path)
-    stats = t.compact(max_files_per_bucket=args.max_files_per_bucket)
+    stats = t.compact(
+        max_files_per_bucket=args.max_files_per_bucket,
+        sort_columns=args.sort_by.split(",") if args.sort_by else None,
+    )
     if args.vacuum:
         stats["vacuum"] = t.vacuum(keep_snapshots=args.keep_snapshots)
     print(json.dumps(stats))
@@ -268,6 +271,8 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--warehouse", required=True)
     k.add_argument("--table", required=True)
     k.add_argument("--max-files-per-bucket", type=int, default=1)
+    k.add_argument("--sort-by", default=None,
+                   help="comma-separated columns: cluster rows within files (ZORDER-style)")
     k.add_argument("--vacuum", action="store_true",
                    help="expire superseded snapshots/files afterwards")
     k.add_argument("--keep-snapshots", type=int, default=1)

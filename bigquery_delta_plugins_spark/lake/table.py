@@ -263,7 +263,8 @@ class LakeTable:
     # -- write ----------------------------------------------------------------
 
     def _write_data_files(
-        self, df: DataFrame, schema: T.StructType, repartition: bool = True
+        self, df: DataFrame, schema: T.StructType, repartition: bool = True,
+        sort_columns: list[str] | None = None,
     ) -> list[dict]:
         """Write rows into bucket-partitioned parquet files; returns
         manifest entries.  Rows are routed by xxhash64(pk) % num_buckets
@@ -286,6 +287,11 @@ class LakeTable:
         bucketed = df.select(*cols).withColumn("__bucket", bucket_expr(pks, nb))
         if repartition:
             bucketed = bucketed.repartition(F.col("__bucket"))
+        if sort_columns:
+            # cluster rows within each bucket file so parquet row-group
+            # min/max stats prune point lookups (OPTIMIZE ... ZORDER
+            # analogue for a single sort axis)
+            bucketed = bucketed.sortWithinPartitions("__bucket", *sort_columns)
         bucketed.write.partitionBy("__bucket").parquet(out_abs)
         entries = []
         for root, _dirs, names in os.walk(out_abs):
@@ -555,7 +561,8 @@ class LakeTable:
             rows, "snapshot_id long, path string, bucket int, size_bytes long"
         )
 
-    def compact(self, max_files_per_bucket: int = 1) -> dict:
+    def compact(self, max_files_per_bucket: int = 1,
+                sort_columns: list[str] | None = None) -> dict:
         """Bin-pack small files: rewrite every bucket holding more than
         ``max_files_per_bucket`` files into one file per bucket, in a
         state-neutral snapshot commit (same rows, same summary — batch
@@ -576,12 +583,16 @@ class LakeTable:
         crowded = {
             b for b, fs in by_bucket.items() if len(fs) > max_files_per_bucket
         }
+        if sort_columns:
+            crowded = set(by_bucket)  # clustering rewrites every bucket
         if not crowded:
             return {"buckets_compacted": 0, "files_before": len(snap["files"]),
                     "files_after": len(snap["files"]), "snapshot_id": snap["snapshot_id"]}
         schema = T.StructType.fromJson(snap["schema"])
         rows = self.read(snapshot_id=snap["snapshot_id"], buckets=crowded)
-        new_files = self._write_data_files(rows, schema, repartition=True)
+        new_files = self._write_data_files(
+            rows, schema, repartition=True, sort_columns=sort_columns
+        )
         kept = [f for f in snap["files"] if f["bucket"] not in crowded]
         new_snap = self._write_snapshot(
             snap, snap["schema"], kept + new_files, dict(snap["summary"]),

@@ -282,3 +282,28 @@ def test_rebucket_partition_evolution(spark, tmp_path):
     assert t2.latest_batch_id() == 2 and t2.latest_merged_seq() == 1200
     assert {f["bucket"] for f in t2.current_snapshot()["files"]} <= set(range(8))
     ev.unpersist()
+
+
+def test_compact_with_sort_clusters_rows(spark, tmp_path):
+    """compact(sort_columns=...) rewrites every bucket with rows
+    clustered by the sort key inside each file, so parquet row-group
+    min/max stats can prune point lookups (ZORDER-style optimize);
+    state stays identical."""
+    import os as _os
+
+    path = str(tmp_path / "sorted")
+    t = LakeTable.create(spark, path, TARGET, ["id"], num_buckets=2)
+    # two appends -> interleaved, unsorted ids within buckets
+    t.append(target_rows(spark, [(i, f"n{i}", i + 1) for i in range(0, 40, 2)]), 0)
+    t.append(target_rows(spark, [(i, f"n{i}", i + 1) for i in range(1, 40, 2)]), 1)
+    state = sorted(map(str, t.read().collect()))
+
+    stats = t.compact(sort_columns=["id"])
+    assert stats["buckets_compacted"] == 2
+    assert sorted(map(str, t.read().collect())) == state
+
+    snap = t.current_snapshot()
+    for f in snap["files"]:
+        ids = [r["id"] for r in spark.read.parquet(
+            _os.path.join(t.path, f["path"])).select("id").collect()]
+        assert ids == sorted(ids), f
