@@ -219,6 +219,21 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    """Maintenance: partition evolution to a new bucket count
+    (state-neutral; see lake/table.py:rebucket)."""
+    from .lake.table import LakeTable
+    from .normalize import get_normalized_dataset_name, normalize_table_name
+
+    spark = _session(args)
+    db, tb = _split_table(args.table)
+    path = os.path.join(
+        args.warehouse, get_normalized_dataset_name(None, db), normalize_table_name(tb)
+    )
+    print(json.dumps(LakeTable.load(spark, path).rebucket(args.num_buckets)))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bigquery_delta_plugins_spark")
     p.add_argument("--master", default=None, help="Spark master (default: cluster-provided)")
@@ -277,6 +292,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="expire superseded snapshots/files afterwards")
     k.add_argument("--keep-snapshots", type=int, default=1)
     k.set_defaults(fn=cmd_compact)
+
+    rb = sub.add_parser("rebucket", help="partition evolution: new bucket count")
+    rb.add_argument("--warehouse", required=True)
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--num-buckets", type=int, required=True)
+    rb.set_defaults(fn=cmd_rebucket)
     return p
 
 

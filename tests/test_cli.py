@@ -63,6 +63,17 @@ def test_cli_gen_apply_show_roundtrip(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == rows
 
+    # partition evolution through the CLI, state preserved
+    assert main(base + [
+        "rebucket", "--warehouse", wh, "--table", "web.pages",
+        "--num-buckets", "8",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebucketed"] and out["num_buckets"] == 8
+    assert main(base + ["show", "--warehouse", wh, "--table", "web.pages"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == rows and out["properties"]["num_buckets"] == 8
+
     chg_out = str(tmp_path / "chg")
     assert main(base + [
         "changes", "--warehouse", wh, "--table", "web.pages",
