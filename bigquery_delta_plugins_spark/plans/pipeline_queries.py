@@ -288,6 +288,21 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split (operators/sampling.py):
+    md5-hash-stable per doc_id, never reassigned as the corpus grows, no
+    RNG.  Output: per-(lang, split) counts — small, exact, and verifies
+    the assignment function byte-for-byte against the SQL twin."""
+    from ..operators.sampling import assign_split
+
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", assign_split(F.col("doc_id")).alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------- event analytics
 
 SESSION_GAP_MIN = 30
@@ -692,6 +707,16 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s2 GROUP BY user_id, session_id"""
 
 
+def _sql_corpus_split() -> str:
+    b = _H32.format(x="CAST(doc_id AS VARCHAR)") + " % 100"
+    return f"""SELECT lang,
+  CASE WHEN {b} >= 99 THEN 'test'
+       WHEN {b} >= 98 THEN 'val'
+       ELSE 'train' END AS split,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2"""
+
+
 def _sql_windowed_counts() -> str:
     # make_timestamp(micros) keeps the window start a NAIVE timestamp,
     # matching Spark's TIMESTAMP_NTZ window bounds (to_timestamp would
@@ -737,6 +762,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
+    "corpus_split_counts": corpus_split_counts,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -760,6 +786,7 @@ def oracles() -> dict[str, str]:
         "text_fingerprint": _sql_fingerprint(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_incremental": _sql_dedup_incremental(),
+        "corpus_split_counts": _sql_corpus_split(),
         "dedup_ngram_jaccard": _sql_dedup_jaccard(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_simhash": _sql_dedup_simhash(),

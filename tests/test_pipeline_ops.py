@@ -355,3 +355,34 @@ def test_incremental_dedup_bloom_exact_under_heavy_false_positives(spark):
     roomy = incremental_dedup_bloom(new, hist, "doc_id", "text",
                                     m_bits=1 << 16, k=5)
     assert {r["doc_id"] for r in roomy.collect()} == want
+
+
+def test_deterministic_split_stability(spark):
+    """Split assignment is identity-stable: growing the corpus never
+    moves an existing document between splits, and the deterministic
+    sample returns the same rows on every evaluation."""
+    from pyspark.sql import functions as F
+
+    from bigquery_delta_plugins_spark.operators.sampling import (
+        assign_split,
+        deterministic_sample,
+    )
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["s"] for r in small.select(
+        "doc_id", assign_split(F.col("doc_id")).alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in big.select(
+        "doc_id", assign_split(F.col("doc_id")).alias("s")).collect()}
+    assert all(b[k] == v for k, v in a.items())  # no reassignment
+    assert set(b.values()) == {"train", "val", "test"}
+
+    s1 = {r["doc_id"] for r in deterministic_sample(
+        big, F.col("doc_id"), 10).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(
+        big, F.col("doc_id"), 10).collect()}
+    assert s1 == s2 and 0 < len(s1) < 2000
+    # nested percentages: a 5% sample is a subset of the 10% sample
+    s3 = {r["doc_id"] for r in deterministic_sample(
+        big, F.col("doc_id"), 5).collect()}
+    assert s3 <= s1
