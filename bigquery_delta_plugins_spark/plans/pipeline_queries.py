@@ -172,6 +172,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus diagnostics: exact token-count percentiles
+    (integer inputs -> both engines interpolate identically), mean, and
+    extremes.  One hash aggregation; the percentile is Spark's exact
+    (sort-based) variant, appropriate for per-group diagnostics - at
+    100 TB one switches to percentile_approx and drops the oracle claim.
+    """
+    n = TX.token_count(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", n.alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(n, 0.5)").alias("p50_tokens"),
+            F.expr("percentile(n, 0.95)").alias("p95_tokens"),
+            F.avg("n").alias("mean_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
 # -------------------------------------------------------------------- dedup
 
 
@@ -707,6 +730,20 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s2 GROUP BY user_id, session_id"""
 
 
+def _sql_corpus_stats() -> str:
+    return """WITH t AS (
+  SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+  quantile_cont(n, 0.5) AS p50_tokens,
+  quantile_cont(n, 0.95) AS p95_tokens,
+  AVG(n) AS mean_tokens,
+  MIN(n) AS min_tokens,
+  MAX(n) AS max_tokens
+FROM t GROUP BY lang"""
+
+
 def _sql_corpus_split() -> str:
     b = _H32.format(x="CAST(doc_id AS VARCHAR)") + " % 100"
     return f"""SELECT lang,
@@ -757,6 +794,7 @@ FROM documents"""
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_repetition": text_repetition,
+    "text_corpus_stats": text_corpus_stats,
     "text_pii_redact": text_pii_redact,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -781,6 +819,7 @@ def oracles() -> dict[str, str]:
     return {
         "text_token_stats": _sql_token_stats(),
         "text_repetition": _sql_repetition(),
+        "text_corpus_stats": _sql_corpus_stats(),
         "text_pii_redact": _sql_pii_redact(),
         "text_lang_id": _sql_lang_id(),
         "text_fingerprint": _sql_fingerprint(),
