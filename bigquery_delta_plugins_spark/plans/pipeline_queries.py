@@ -359,6 +359,23 @@ def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(ev, "ts", 15)
 
 
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/funnel.py): users reaching each depth
+    of signup -> click -> purchase as a time-ordered subsequence."""
+    from ..operators.funnel import funnel_counts
+
+    # thin to every-11th event: hot users otherwise trivially complete
+    # any funnel and the result degenerates to a single depth bucket
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 11 == 0
+    )
+    return funnel_counts(ev, "user_id", "event_id", "event_type",
+                         FUNNEL_STEPS)
+
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -754,6 +771,32 @@ def _sql_corpus_split() -> str:
 FROM documents GROUP BY 1, 2"""
 
 
+def _sql_funnel() -> str:
+    # independent relational formulation of the same greedy semantics:
+    # chained earliest-match MINs
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""WITH ev AS (SELECT * FROM events WHERE event_id % 11 = 0),
+u AS (SELECT DISTINCT user_id FROM ev),
+p1 AS (SELECT user_id, MIN(event_id) AS m FROM ev
+       WHERE event_type = '{s1}' GROUP BY user_id),
+p2 AS (SELECT e.user_id, MIN(e.event_id) AS m FROM ev e
+       JOIN p1 USING (user_id)
+       WHERE e.event_type = '{s2}' AND e.event_id > p1.m GROUP BY e.user_id),
+p3 AS (SELECT e.user_id, MIN(e.event_id) AS m FROM ev e
+       JOIN p2 USING (user_id)
+       WHERE e.event_type = '{s3}' AND e.event_id > p2.m GROUP BY e.user_id),
+prog AS (
+  SELECT u.user_id,
+         CASE WHEN p3.m IS NOT NULL THEN 3
+              WHEN p2.m IS NOT NULL THEN 2
+              WHEN p1.m IS NOT NULL THEN 1
+              ELSE 0 END AS steps_reached
+  FROM u LEFT JOIN p1 USING (user_id) LEFT JOIN p2 USING (user_id)
+         LEFT JOIN p3 USING (user_id)
+)
+SELECT steps_reached, COUNT(*) AS n_users FROM prog GROUP BY 1"""
+
+
 def _sql_windowed_counts() -> str:
     # make_timestamp(micros) keeps the window start a NAIVE timestamp,
     # matching Spark's TIMESTAMP_NTZ window bounds (to_timestamp would
@@ -811,6 +854,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "events_sessionize": events_sessionize,
     "events_windowed_counts": events_windowed_counts,
+    "events_funnel": events_funnel,
     "events_topk_users": events_topk_users,
 }
 
@@ -836,5 +880,6 @@ def oracles() -> dict[str, str]:
         "multimodal_features": _sql_multimodal(),
         "events_sessionize": _sql_sessionize(),
         "events_windowed_counts": _sql_windowed_counts(),
+        "events_funnel": _sql_funnel(),
         "events_topk_users": _sql_topk_users(),
     }

@@ -136,3 +136,30 @@ def test_sessionize_stream_closes_gap_sessions(spark, tmp_path):
     # sessions (user1 s2, user2 s1) are retained as state, not emitted
     assert (1, 3) in got
     assert (1, 2) not in got
+
+
+def test_funnel_counts_greedy_subsequence(spark):
+    """Funnel semantics: steps must appear as an ordered subsequence;
+    wrong order doesn't count, arrival order is irrelevant (sorted by
+    order_col), repeats don't double-advance."""
+    from bigquery_delta_plugins_spark.operators.funnel import funnel_counts
+
+    rows = [
+        # u1: full funnel, interleaved noise, arrival shuffled
+        (1, 5, "purchase"), (1, 1, "signup"), (1, 3, "click"), (1, 2, "view"),
+        # u2: purchase BEFORE click -> depth 1 only (signup)
+        (2, 1, "signup"), (2, 2, "purchase"), (2, 3, "view"),
+        # u3: click+purchase but never signed up -> depth 0
+        (3, 1, "click"), (3, 2, "purchase"),
+        # u4: signup twice then click -> depth 2 (repeat doesn't skip)
+        (4, 1, "signup"), (4, 2, "signup"), (4, 3, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    got = {
+        r["steps_reached"]: r["n_users"]
+        for r in funnel_counts(
+            df, "user_id", "event_id", "event_type",
+            ["signup", "click", "purchase"],
+        ).collect()
+    }
+    assert got == {3: 1, 1: 1, 0: 1, 2: 1}
