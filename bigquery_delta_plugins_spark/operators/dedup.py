@@ -384,3 +384,21 @@ def incremental_dedup_bloom(
         )
     )
     return definite_new.unionByName(rescued)
+
+
+def dedup_stream(
+    docs, id_col: str, text_col: str, ts_col: str, watermark: str = "10 minutes"
+):
+    """Ingest-time exact dedup of a streaming document source: the first
+    arrival of each content hash passes, replays/duplicates within the
+    watermark horizon are dropped, and state is evicted once the
+    watermark passes (bounded memory — the reason this beats a naive
+    ``dropDuplicates``, whose state grows forever on an unbounded
+    corpus).  Built on ``dropDuplicatesWithinWatermark`` so the engine
+    keys state on the 16-byte content hash, never the payload."""
+    return (
+        docs.withColumn("_content_md5", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_md5"])
+        .drop("_content_md5")
+    )

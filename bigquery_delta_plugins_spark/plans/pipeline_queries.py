@@ -376,6 +376,28 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                          FUNNEL_STEPS)
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week
+    (cohort), counted per week-offset of subsequent activity.  Two hash
+    aggregations + one join on user - no windows, no self-join over
+    events; (user, week) is de-duplicated FIRST so the final count is a
+    plain count, never a count-distinct shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+    ).alias("week")
+    weeks = ev.select(F.col("user_id"), week).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -771,6 +793,20 @@ def _sql_corpus_split() -> str:
 FROM documents GROUP BY 1, 2"""
 
 
+def _sql_retention() -> str:
+    return """WITH weeks AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+         AS BIGINT) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM weeks w JOIN cohort c USING (user_id)
+GROUP BY 1, 2"""
+
+
 def _sql_funnel() -> str:
     # independent relational formulation of the same greedy semantics:
     # chained earliest-match MINs
@@ -855,6 +891,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_windowed_counts": events_windowed_counts,
     "events_funnel": events_funnel,
+    "events_retention": events_retention,
     "events_topk_users": events_topk_users,
 }
 
@@ -881,5 +918,6 @@ def oracles() -> dict[str, str]:
         "events_sessionize": _sql_sessionize(),
         "events_windowed_counts": _sql_windowed_counts(),
         "events_funnel": _sql_funnel(),
+        "events_retention": _sql_retention(),
         "events_topk_users": _sql_topk_users(),
     }

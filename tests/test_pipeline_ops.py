@@ -386,3 +386,53 @@ def test_deterministic_split_stability(spark):
     s3 = {r["doc_id"] for r in deterministic_sample(
         big, F.col("doc_id"), 5).collect()}
     assert s3 <= s1
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact dedup: a duplicate text arriving in a LATER
+    micro-batch (within the watermark) is dropped; distinct texts pass;
+    state is hash-keyed and watermark-bounded."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import types as T
+
+    from bigquery_delta_plugins_spark.operators.dedup import dedup_stream
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha", ts(0)), (2, "beta", ts(1))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    spark.createDataFrame(
+        [(3, "alpha", ts(2)), (4, "gamma", ts(3))], schema  # dup of doc 1
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        dedup_stream(stream, "doc_id", "text", "ts")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    time.sleep(0.2)
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (4, "gamma")}
