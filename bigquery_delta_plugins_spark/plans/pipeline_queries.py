@@ -398,6 +398,65 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ star-schema analytics
+
+
+def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over the provided lineitem table.
+    Money flows through DETERMINISTIC integer cents
+    (``floor(x*100 + 0.5)`` — the IEEE expression is evaluated
+    identically by any engine, and BIGINT sums are order-independent),
+    so the oracle compare is exact where naive double sums would drift
+    with partition order.  Pure partial-agg groupBy; at 100 TB this is
+    one map-side-combined shuffle of 4 tiny groups."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(disc)).alias("sum_disc_cents"),
+            F.sum(cents(charge)).alias("sum_charge_cents"),
+        )
+    )
+
+
+def tpch_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped star join: lineitem |x| orders |x| customer |x| nation
+    |x| region, revenue per nation for orders from 1995 onward.  The
+    dimension chain (customer/nation/region) broadcasts; the date filter
+    pushes into the orders scan; revenue is exact integer cents."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    orders = rd("orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    )
+    dim = (
+        rd("customer")
+        .join(F.broadcast(rd("nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(rd("region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        rd("lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -793,6 +852,32 @@ def _sql_corpus_split() -> str:
 FROM documents GROUP BY 1, 2"""
 
 
+def _sql_tpch_q1() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n_rows,
+  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
+  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+    AS sum_disc_cents,
+  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+           AS BIGINT)) AS sum_charge_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def _sql_tpch_q5() -> str:
+    return """SELECT r_name, n_name,
+  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+           AS BIGINT)) AS revenue_cents,
+  COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY r_name, n_name"""
+
+
 def _sql_retention() -> str:
     return """WITH weeks AS (
   SELECT DISTINCT user_id,
@@ -892,6 +977,8 @@ QUERIES = {
     "events_windowed_counts": events_windowed_counts,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "tpch_pricing_summary": tpch_pricing_summary,
+    "tpch_revenue_by_nation": tpch_revenue_by_nation,
     "events_topk_users": events_topk_users,
 }
 
@@ -919,5 +1006,7 @@ def oracles() -> dict[str, str]:
         "events_windowed_counts": _sql_windowed_counts(),
         "events_funnel": _sql_funnel(),
         "events_retention": _sql_retention(),
+        "tpch_pricing_summary": _sql_tpch_q1(),
+        "tpch_revenue_by_nation": _sql_tpch_q5(),
         "events_topk_users": _sql_topk_users(),
     }
