@@ -855,19 +855,20 @@ FROM documents GROUP BY 1, 2"""
 def _sql_tpch_q1() -> str:
     return """SELECT l_returnflag, l_linestatus,
   COUNT(*) AS n_rows,
-  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-  SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
-  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
-    AS sum_disc_cents,
-  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
-           AS BIGINT)) AS sum_charge_cents
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_base_cents,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+                      + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 
 def _sql_tpch_q5() -> str:
     return """SELECT r_name, n_name,
-  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
-           AS BIGINT)) AS revenue_cents,
+  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
   COUNT(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
