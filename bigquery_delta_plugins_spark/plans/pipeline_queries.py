@@ -457,6 +457,45 @@ def tpch_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped profit rollup: lineitem |x| part |x| supplier |x|
+    nation, profit per (nation, order year) for one part brand.  Covers
+    the remaining provided tables (part, supplier); profit = revenue
+    minus retail cost, both as deterministic integer cents.  Brand
+    filter pushes into the part scan, which then broadcasts."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li = rd("lineitem")
+    part = rd("part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey", "p_retailprice"
+    )
+    sup = (
+        rd("supplier")
+        .join(F.broadcast(rd("nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    orders = rd("orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    profit = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity")
+        ) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.sum(profit).alias("profit_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -879,6 +918,20 @@ WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
 GROUP BY r_name, n_name"""
 
 
+def _sql_tpch_q9() -> str:
+    return """SELECT n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                       - p.p_retailprice * l.l_quantity) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS profit_cents,
+  COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2"""
+
+
 def _sql_retention() -> str:
     return """WITH weeks AS (
   SELECT DISTINCT user_id,
@@ -980,6 +1033,7 @@ QUERIES = {
     "events_retention": events_retention,
     "tpch_pricing_summary": tpch_pricing_summary,
     "tpch_revenue_by_nation": tpch_revenue_by_nation,
+    "tpch_profit_by_nation": tpch_profit_by_nation,
     "events_topk_users": events_topk_users,
 }
 
@@ -1009,5 +1063,6 @@ def oracles() -> dict[str, str]:
         "events_retention": _sql_retention(),
         "tpch_pricing_summary": _sql_tpch_q1(),
         "tpch_revenue_by_nation": _sql_tpch_q5(),
+        "tpch_profit_by_nation": _sql_tpch_q9(),
         "events_topk_users": _sql_topk_users(),
     }
