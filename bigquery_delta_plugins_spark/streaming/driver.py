@@ -87,11 +87,20 @@ def run_microbatch_loop(
     table: str,
     checkpoint_dir: str,
     crash_after_apply_batch: int | None = None,
+    changes_dir: str | None = None,
 ) -> list[dict]:
     """Deterministic apply loop with two-phase commit: apply (atomic
     snapshot w/ batch-id dedup), then advance the checkpoint commit log.
     ``crash_after_apply_batch`` simulates the worst-case failure window —
-    death between the two phases — for exactly-once tests."""
+    death between the two phases — for exactly-once tests.
+
+    ``changes_dir``: eager CDC-out — after each applied batch, the
+    batch's changelog (LakeTable.changes_for_batch) lands as parquet
+    under ``<changes_dir>/batch=<id>/`` BEFORE the checkpoint commit, so
+    the feed is exactly-once with the same crash-window semantics as the
+    table itself: a crash between apply and checkpoint re-applies the
+    batch as a snapshot no-op and rewrites the same changelog partition
+    (mode=overwrite) idempotently."""
     done = read_commit_log(checkpoint_dir)
     out = []
     for batch_id, df in batches:
@@ -99,6 +108,21 @@ def run_microbatch_loop(
             continue
         m = apply_batch_df(consumer, df, batch_id, database, table, checkpoint_dir)
         out.append(m)
+        if changes_dir is not None:
+            part = os.path.join(changes_dir, f"batch={batch_id}")
+            # freshly applied -> write; replayed-skip with the partition
+            # missing -> the crash hit between apply and the changelog
+            # write, so backfill it now (the snapshot is committed, the
+            # feed entry is fully reconstructible)
+            if not m.get("skipped") or not os.path.exists(part):
+                try:
+                    chg = consumer.table(database, table).changes_for_batch(
+                        batch_id
+                    )
+                except KeyError:
+                    chg = None  # batch never committed (e.g. empty)
+                if chg is not None:
+                    chg.write.mode("overwrite").parquet(part)
         if crash_after_apply_batch is not None and batch_id == crash_after_apply_batch:
             raise RuntimeError(f"simulated crash after applying batch {batch_id}")
         _commit(checkpoint_dir, batch_id)

@@ -342,6 +342,46 @@ def test_changes_across_schema_evolution_and_truncate(spark, tmp_path):
     assert t.read().count() == 0
 
 
+def test_driver_changes_dir_feed_exactly_once(spark, tmp_path):
+    """run_microbatch_loop(changes_dir=...): eager per-batch CDC-out as
+    parquet partitions; a crash between apply and checkpoint replays as
+    a snapshot no-op and the feed partition is backfilled/idempotent —
+    the concatenated feed equals the on-demand per-batch changelogs."""
+    import pytest as _pytest
+
+    from bigquery_delta_plugins_spark.streaming.driver import (
+        run_microbatch_loop,
+    )
+
+    ev = synth_events(spark, 1200, 60, batch_size=400, delete_frac=0.1).cache()
+    batches = [(b, ev.filter(ev[C.BATCH_ID] == b)) for b in range(3)]
+
+    c = EventConsumer(spark, str(tmp_path / "wh"), num_buckets=4,
+                      salt_buckets=2)
+    c.apply_ddl(
+        DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=PAGES,
+                 primary_keys=["url"])
+    )
+    cp, feed = str(tmp_path / "cp"), str(tmp_path / "feed")
+    # crash after batch 1's apply (changelog written, checkpoint not)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        run_microbatch_loop(c, batches, "web", "pages", cp,
+                            crash_after_apply_batch=1, changes_dir=feed)
+    # resume: batch 1 replays as a no-op, feed partition idempotent
+    c2 = EventConsumer(spark, str(tmp_path / "wh"), num_buckets=4,
+                       salt_buckets=2)
+    run_microbatch_loop(c2, batches, "web", "pages", cp, changes_dir=feed)
+
+    t = c2.table("web", "pages")
+    import os
+
+    for b in range(3):
+        part = os.path.join(feed, f"batch={b}")
+        got = sorted(map(str, spark.read.parquet(part).collect()))
+        want = sorted(map(str, t.changes_for_batch(b).collect()))
+        assert got == want and got, b
+
+
 def test_table_changes_prunes_unchanged_buckets(spark, tmp_path):
     """The physical scans behind changes(a, b) touch ONLY files of
     buckets whose manifest file set differs — a bucket untouched by the
