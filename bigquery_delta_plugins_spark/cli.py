@@ -117,7 +117,9 @@ def cmd_apply(args) -> int:
     )
     batches = [(b, ev.filter(F.col(C.BATCH_ID) == b)) for b in batch_ids]
     metrics = run_microbatch_loop(
-        consumer, batches, db, tb, args.checkpoint or os.path.join(args.warehouse, "_cp")
+        consumer, batches, db, tb,
+        args.checkpoint or os.path.join(args.warehouse, "_cp"),
+        changes_dir=args.changes_dir,
     )
     applied = [m for m in metrics if not m["skipped"]]
     print(json.dumps({
@@ -260,6 +262,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="skip the vectorized html->text transform")
         a.add_argument("--single-job", action="store_true",
                        help="single-Spark-job-per-batch apply mode")
+        if name == "apply":
+            a.add_argument("--changes-dir", default=None,
+                           help="eager per-batch CDC-out feed (parquet partitions)")
         if name == "stream":
             a.add_argument("--max-files-per-trigger", type=int, default=1)
             a.add_argument("--continuous", action="store_true",

@@ -20,12 +20,14 @@ def test_cli_gen_apply_show_roundtrip(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_events"] == 2000
 
+    feed = str(tmp_path / "feed")
     assert main(base + [
         "apply", "--events", events, "--warehouse", wh, "--table", "web.pages",
-        "--num-buckets", "4",
+        "--num-buckets", "4", "--changes-dir", feed,
     ]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["applied_batches"] == 4 and out["skipped_batches"] == 0
+    assert all(os.path.exists(os.path.join(feed, f"batch={b}")) for b in range(4))
     rows = out["final_rows"]
     assert rows > 0
 
