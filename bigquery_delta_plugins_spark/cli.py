@@ -143,6 +143,7 @@ def cmd_stream(args) -> int:
         args.checkpoint or os.path.join(args.warehouse, "_cp"),
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.continuous,
+        changes_dir=args.changes_dir,
     )
     print(json.dumps({"final_rows": consumer.table(db, tb).read().count()}))
     return 0
@@ -262,9 +263,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="skip the vectorized html->text transform")
         a.add_argument("--single-job", action="store_true",
                        help="single-Spark-job-per-batch apply mode")
-        if name == "apply":
-            a.add_argument("--changes-dir", default=None,
-                           help="eager per-batch CDC-out feed (parquet partitions)")
+        a.add_argument("--changes-dir", default=None,
+                       help="eager per-batch CDC-out feed (parquet partitions)")
         if name == "stream":
             a.add_argument("--max-files-per-trigger", type=int, default=1)
             a.add_argument("--continuous", action="store_true",

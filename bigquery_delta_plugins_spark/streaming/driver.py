@@ -222,6 +222,7 @@ def run_structured_stream(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     multi_table: bool = False,
+    changes_dir: str | None = None,
 ):
     """Structured Streaming front-end: parquet file stream -> foreachBatch
     apply.  Spark's checkpoint gives the offset/commit log; the snapshot
@@ -238,7 +239,24 @@ def run_structured_stream(
             for m in consumer.apply_multi_table_batch(batch_df, batch_id):
                 _append_lineage(checkpoint_dir, m)
         else:
-            apply_batch_df(consumer, batch_df, batch_id, database, table, checkpoint_dir)
+            m = apply_batch_df(
+                consumer, batch_df, batch_id, database, table, checkpoint_dir
+            )
+            if changes_dir is not None:
+                # eager CDC-out inside the trigger: written before Spark
+                # advances its commit log, so a replayed batch (skip via
+                # snapshot batch-id) backfills an absent partition and a
+                # present one is rewritten idempotently
+                part = os.path.join(changes_dir, f"batch={batch_id}")
+                if not m.get("skipped") or not os.path.exists(part):
+                    try:
+                        chg = consumer.table(database, table).changes_for_batch(
+                            batch_id
+                        )
+                    except KeyError:
+                        chg = None
+                    if chg is not None:
+                        chg.write.mode("overwrite").parquet(part)
 
     reader = (
         spark.readStream.schema(schema)

@@ -135,3 +135,18 @@ def test_changelog_diff_is_single_keyed_join(spark, tmp_path):
                      ["BroadcastHashJoin"]), joins
     exchanges = re.findall(r"^\(\d+\) (Exchange)", plan, re.M)
     assert len(exchanges) <= 2, plan
+
+
+def test_star_join_broadcasts_dims_and_pushes_brand_filter(spark):
+    """Q9 shape: the brand filter reaches the part scan as a pushed
+    filter, and the dimension joins are broadcast — no shuffle of the
+    small sides."""
+    from bigquery_delta_plugins_spark.plans.pipeline_queries import (
+        tpch_profit_by_nation,
+    )
+
+    plan = plan_of(tpch_profit_by_nation(spark, "/root/testdata/sf0.001"))
+    pushed = [l for l in plan.splitlines()
+              if "PushedFilters" in l and "p_brand" in l]
+    assert pushed, plan
+    assert "BroadcastHashJoin" in plan, plan

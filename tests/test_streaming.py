@@ -60,9 +60,10 @@ def test_structured_stream_matches_loop_and_resumes(spark, tmp_path):
 
     stream_consumer = _mk_consumer(spark, str(tmp_path / "stream"))
     cp = str(tmp_path / "stream-cp")
+    feed = str(tmp_path / "feed")
     run_structured_stream(
         spark, events_dir, staging, stream_consumer, "web", "pages", cp,
-        max_files_per_trigger=1,
+        max_files_per_trigger=1, changes_dir=feed,
     )
     t = stream_consumer.table("web", "pages")
     assert table_state(t) == table_state(loop_consumer.table("web", "pages"))
@@ -73,7 +74,7 @@ def test_structured_stream_matches_loop_and_resumes(spark, tmp_path):
     _write_batch_file(ev, 2, events_dir)
     run_structured_stream(
         spark, events_dir, staging, stream_consumer, "web", "pages", cp,
-        max_files_per_trigger=1,
+        max_files_per_trigger=1, changes_dir=feed,
     )
     run_microbatch_loop(
         loop_consumer,
@@ -90,6 +91,14 @@ def test_structured_stream_matches_loop_and_resumes(spark, tmp_path):
     lineage = os.path.join(cp, "lineage.jsonl")
     assert os.path.exists(lineage)
     assert sum(1 for _ in open(lineage)) >= 3
+    # eager CDC-out feed: one partition per applied stream batch, each
+    # equal to the on-demand changelog
+    for b in range(3):
+        part = os.path.join(feed, f"batch={b}")
+        assert os.path.exists(part), b
+        got = sorted(map(str, spark.read.parquet(part).collect()))
+        want = sorted(map(str, t.changes_for_batch(b).collect()))
+        assert got == want and got, b
 
     # idempotence: re-running the stream with no new files is a no-op
     run_structured_stream(
