@@ -70,9 +70,17 @@ def _consumer(spark, args, schema, db, tb, pks):
         row_transform=None if args.no_extract else _extract_transform(),
         single_job_per_batch=args.single_job,
     )
-    c.apply_ddl(
-        DDLEvent(DDLOp.CREATE_TABLE, db, tb, schema=schema, primary_keys=pks)
-    )
+    # Bootstrap CREATE only when the table does not exist yet: a CLI rerun
+    # over a table whose last run crashed inside the two-phase direct-load
+    # window must NOT replay CREATE_TABLE — the O29 snapshot-abandon
+    # cleanup would drop the whole half-loaded table while the checkpoint
+    # commit log keeps earlier batches from re-applying (silent loss).
+    # The O29 drop stays reserved for source-initiated snapshot restarts
+    # arriving as CREATE_TABLE *events* in the stream.
+    if not c.table_exists(db, tb):
+        c.apply_ddl(
+            DDLEvent(DDLOp.CREATE_TABLE, db, tb, schema=schema, primary_keys=pks)
+        )
     return c
 
 

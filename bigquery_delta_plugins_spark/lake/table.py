@@ -188,6 +188,16 @@ class LakeTable:
         # CommitConflictError instead of silently clobbering history.
         # (A crash mid-write only ever leaves the .tmp; the final name
         # appears complete or not at all.)
+        #
+        # Conflict detection is BEST-EFFORT, not Iceberg-equivalent CAS:
+        # there is a TOCTOU window where the loser's link fails while the
+        # winner has linked its manifest but not yet swapped the pointer
+        # — ``cur_sid`` then still reads the parent and the loser adopts
+        # (os.replace) the slot.  The engine's deployment contract is ONE
+        # writer per table (module docstring); the CAS exists to turn a
+        # *misconfigured* second writer into a loud error in the common
+        # interleavings, not to serialize concurrent writers.  A real
+        # catalog (Iceberg/Hive/REST) supplies true CAS when swapped in.
         try:
             os.link(tmp, os.path.join(mdir, name))
         except FileExistsError:
@@ -450,14 +460,32 @@ class LakeTable:
     def snapshot_for_batch(self, batch_id: int) -> dict | None:
         """The FINAL commit of ``batch_id`` (two-phase batches also have
         an intermediate direct-load snapshot; that one never advances
-        ``latest_batch_id``, so it is skipped here)."""
+        ``latest_batch_id``, so it is skipped here).
+
+        Maintenance commits (compact / rebucket / truncate / ALTER) copy
+        the summary unchanged, so after e.g. ``compact()`` the MOST
+        RECENT snapshot carrying this ``latest_batch_id`` is the
+        compaction, not the batch's real final commit — diffing against
+        it would attribute the maintenance rewrite (or nothing at all)
+        to the batch.  We therefore walk to the DEEPEST snapshot with
+        this batch id: the batch's own commit is the first snapshot that
+        ever carried it."""
         snap = self.current_snapshot()
         while snap is not None:
-            if snap["summary"].get("latest_batch_id", -1) == batch_id and (
+            lb = snap["summary"].get("latest_batch_id", -1)
+            if lb == batch_id and (
                 snap["summary"].get("direct_load_in_progress") is None
             ):
+                while snap["parent_id"] is not None:
+                    parent = self.snapshot(snap["parent_id"])
+                    if parent["summary"].get("latest_batch_id", -1) == batch_id and (
+                        parent["summary"].get("direct_load_in_progress") is None
+                    ):
+                        snap = parent  # shadowing maintenance commit above
+                    else:
+                        break
                 return snap
-            if snap["summary"].get("latest_batch_id", -1) < batch_id:
+            if lb < batch_id:
                 return None
             snap = (
                 self.snapshot(snap["parent_id"])
@@ -472,16 +500,24 @@ class LakeTable:
         final commit>)``.  A two-phase snapshot-split batch (O5) counts
         its intermediate direct-load snapshot as part of the batch, so
         the feed spans both phases.  Raises KeyError if the batch's
-        manifests were vacuumed or the batch was never applied."""
-        to_snap = self.snapshot_for_batch(batch_id)
-        if to_snap is None or to_snap["parent_id"] is None:
-            raise KeyError(f"batch {batch_id} has no committed snapshot")
-        # walk past intermediate snapshots belonging to this same batch
-        # (the direct-load phase) to the last pre-batch state
-        frm = self.snapshot(to_snap["parent_id"])
-        while frm["summary"].get("direct_load_in_progress") == batch_id:
-            frm = self.snapshot(frm["parent_id"])
-        return self.changes(frm["snapshot_id"], to_snap["snapshot_id"])
+        manifests were vacuumed or the batch was never applied (a
+        vacuumed parent manifest surfaces as FileNotFoundError from the
+        snapshot walk; it is normalized to KeyError here so callers have
+        ONE not-available signal, as the eager-feed backfill relies on)."""
+        try:
+            to_snap = self.snapshot_for_batch(batch_id)
+            if to_snap is None or to_snap["parent_id"] is None:
+                raise KeyError(f"batch {batch_id} has no committed snapshot")
+            # walk past intermediate snapshots belonging to this same batch
+            # (the direct-load phase) to the last pre-batch state
+            frm = self.snapshot(to_snap["parent_id"])
+            while frm["summary"].get("direct_load_in_progress") == batch_id:
+                frm = self.snapshot(frm["parent_id"])
+            return self.changes(frm["snapshot_id"], to_snap["snapshot_id"])
+        except FileNotFoundError as e:
+            raise KeyError(
+                f"batch {batch_id}: snapshot manifests expired (vacuumed): {e}"
+            ) from e
 
     # -- DDL ------------------------------------------------------------------
 

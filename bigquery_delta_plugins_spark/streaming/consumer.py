@@ -139,6 +139,19 @@ class EventConsumer:
     def table(self, database: str, table: str) -> LakeTable:
         return LakeTable.load(self.spark, self._table_path(database, table))
 
+    def table_exists(self, database: str, table: str) -> bool:
+        """True iff the (normalized) target table has a committed
+        manifest.  Drivers use this to gate their BOOTSTRAP CREATE_TABLE:
+        replaying a synthetic CREATE over an existing table would trip
+        the O29 snapshot-abandon cleanup if a prior run crashed inside
+        the two-phase direct-load window — dropping committed batches
+        that the checkpoint commit log then refuses to re-apply.  Only a
+        genuine source-initiated CREATE (a snapshot restart) may do
+        that."""
+        return os.path.exists(
+            os.path.join(self._table_path(database, table), "_manifests", "_current")
+        )
+
     # ------------------------------------------------------------------- DDL
 
     def apply_ddl(self, event: DDLEvent) -> None:
@@ -473,9 +486,24 @@ class EventConsumer:
         """ONE Spark job per batch: flatten + merge + write fused into
         the data-file write; ``latest_merged_seq`` resolved afterwards
         from the written parquet footers (driver-side metadata read).
-        See the constructor docstring for the trade-offs."""
+        See the constructor docstring for the trade-offs.
+
+        Footer stats alone UNDER-advance the barrier when the batch's
+        highest-sequence winners are hard DELETEs (deleted rows appear in
+        no written file), which would re-admit those events on an
+        at-least-once replay — state stays right only because the merge
+        is idempotent, but lineage/resume points drift from the standard
+        path.  An ``Observation`` on the diff collects the batch's true
+        max sequence as a free by-product of the SAME write job (the
+        flatten keeps the max-seq event of every key, so max over diff ==
+        max over the live batch); the barrier advances to
+        max(footer, observed)."""
+        from pyspark.sql import Observation
+
         from ..lake.table import parquet_files_max_long
 
+        obs = Observation()
+        diff = diff.observe(obs, F.max(F.col(C.SEQUENCE_NUM)).alias("max_seq"))
         diff = diff.persist()
         try:
             tp = time.monotonic()
@@ -505,6 +533,11 @@ class EventConsumer:
                     *[os.path.join(table.path, f["path"]) for f in new_files]
                 ).agg(F.max(C.SEQUENCE_NUM)).first() if new_files else None
                 max_seq = (row[0] if row else None) or last_merged
+            # observed diff max — covers trailing hard-DELETE winners the
+            # footers can't see (metrics materialized by the write job)
+            obs_max = obs.get.get("max_seq")
+            if obs_max is not None:
+                max_seq = max(max_seq or 0, obs_max)
             snap = table.commit_overwrite(
                 new_files, set(range(nb)), batch_id, max_seq
             )
@@ -614,7 +647,12 @@ class EventConsumer:
             sub = batch_df.filter(
                 (F.col(database_col) == db) & (F.col(table_col) == tb)
             ).drop(database_col, table_col)
-            return self.apply_batch(db, tb, sub, batch_id)
+            m = self.apply_batch(db, tb, sub, batch_id)
+            # tag with the SOURCE names (lineage carries the normalized
+            # path) so drivers can route per-table side effects (the
+            # eager CDC-out feed) without reverse-normalizing
+            m["database"], m["table_name"] = db, tb
+            return m
 
         results: list[dict] = []
         errors: list[tuple[str, str, Exception]] = []
@@ -664,20 +702,36 @@ class EventConsumer:
             # _batch_id column would fight the replay barrier
             staged = staged.drop(C.BATCH_ID)
         seq = F.col(C.SEQUENCE_NUM)
-        table_exists = os.path.exists(
-            os.path.join(self._table_path(database, table_name), "_manifests", "_current")
-        )
         latest = (
-            self.table(database, table_name).latest_batch_id() if table_exists else -1
+            self.table(database, table_name).latest_batch_id()
+            if self.table_exists(database, table_name)
+            else -1
         )
-        results = []
+
+        def apply_seg(seg: DataFrame, sub_id: int) -> None:
+            if not self.table_exists(database, table_name):
+                # pre-CREATE segment (the table is born by a later DDL in
+                # this very batch): the source contract says no DML
+                # precedes its table's CREATE — verify cheaply and stay
+                # loud rather than dropping rows silently
+                if seg.limit(1).count() > 0:
+                    raise PermanentFailure(
+                        f"DML for {database}.{table_name} precedes its "
+                        "CREATE_TABLE in the stream"
+                    )
+                return
+            m = self.apply_batch(database, table_name, seg, sub_id)
+            m["database"], m["table_name"] = database, table_name
+            results.append(m)
+
+        results: list[dict] = []
         lo = None
         for i, ev in enumerate(ddls):
             sub_id = batch_id * self.MIXED_BATCH_STRIDE + i
             seg = staged.filter(seq < F.lit(ev.sequence_num))
             if lo is not None:
                 seg = seg.filter(seq > F.lit(lo))
-            results.append(self.apply_batch(database, table_name, seg, sub_id))
+            apply_seg(seg, sub_id)
             next_dml_id = sub_id + 1
             if latest >= next_dml_id:
                 # replay: a later segment already committed, so this DDL
@@ -688,7 +742,82 @@ class EventConsumer:
             lo = ev.sequence_num - 1
         tail_id = batch_id * self.MIXED_BATCH_STRIDE + len(ddls)
         seg = staged if lo is None else staged.filter(seq > F.lit(lo))
-        results.append(self.apply_batch(database, table_name, seg, tail_id))
+        apply_seg(seg, tail_id)
+        return results
+
+    def apply_multi_table_mixed_batch(
+        self,
+        batch_df: DataFrame,
+        ddl_events: list[DDLEvent],
+        batch_id: int,
+        *,
+        database_col: str = "_database",
+        table_col: str = "_table",
+        tables: list[tuple[str, str]] | None = None,
+        max_workers: int = 4,
+    ) -> list[dict]:
+        """O23 × O27 composition: one micro-batch carrying MANY tables'
+        DML with DDL events interleaved in sequence order.
+
+        The reference applies a DDL in stream order for *any* table
+        while other tables' buffered DML flushes around it
+        (BigQueryEventConsumer.java:297-335,433,457,499).  Here each DDL
+        routes to its own table's fan-out task: tables with DDL go
+        through :meth:`apply_mixed_batch` (each DDL force-flushes the
+        DML segment before it in THAT table's sub-stream); tables
+        without DDL apply as one segment.  All tables use the STRIDE
+        sub-id space, so lake batch ids stay monotone whether or not a
+        given flush carried DDL for the table, and the caller's
+        checkpoint advances only after every table committed — a partial
+        failure retries exactly the failed tables (the committed ones
+        replay as no-ops)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Database-level DDL (CREATE/DROP DATABASE) has no table to route
+        # to — apply in sequence order BEFORE the fan-out, like the
+        # reference's global stream-order applyDDL.
+        ddls_by_table: dict[tuple[str, str], list[DDLEvent]] = {}
+        for ev in sorted(ddl_events, key=lambda e: e.sequence_num):
+            if ev.table is None:
+                self.apply_ddl(ev)
+            else:
+                ddls_by_table.setdefault((ev.database, ev.table), []).append(ev)
+        if tables is None:
+            discovered = {
+                (r["d"], r["t"])
+                for r in batch_df.select(
+                    F.col(database_col).alias("d"), F.col(table_col).alias("t")
+                )
+                .distinct()
+                .collect()
+            }
+        else:
+            discovered = set(tables)
+        all_tables = sorted(discovered | set(ddls_by_table))
+
+        def one(db: str, tb: str) -> list[dict]:
+            sub = batch_df.filter(
+                (F.col(database_col) == db) & (F.col(table_col) == tb)
+            ).drop(database_col, table_col)
+            return self.apply_mixed_batch(
+                db, tb, sub, ddls_by_table.get((db, tb), []), batch_id
+            )
+
+        results: list[dict] = []
+        errors: list[tuple[str, str, Exception]] = []
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            futs = {ex.submit(one, db, tb): (db, tb) for db, tb in all_tables}
+            for fut, (db, tb) in futs.items():
+                try:
+                    results.extend(fut.result())
+                except Exception as e:  # noqa: BLE001 — aggregated below
+                    errors.append((db, tb, e))
+        if errors:
+            detail = "; ".join(f"{db}.{tb}: {e}" for db, tb, e in errors)
+            raise RuntimeError(
+                f"{len(errors)}/{len(all_tables)} mixed table applies failed "
+                f"(succeeded tables are committed and replay-safe): {detail}"
+            ) from errors[0][2]
         return results
 
     # ------------------------------------------------------------ stats job

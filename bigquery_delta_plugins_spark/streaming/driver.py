@@ -63,6 +63,42 @@ def _commit(checkpoint_dir: str, batch_id: int) -> None:
     os.replace(tmp, p)
 
 
+def _write_changes_feed(
+    consumer: EventConsumer,
+    changes_dir: str,
+    database: str,
+    table: str,
+    batch_id: int,
+    skipped: bool,
+    *,
+    multi_table: bool,
+) -> None:
+    """Eager CDC-out: land one batch's changelog as a parquet partition
+    BEFORE the checkpoint commit, so the feed is exactly-once under the
+    same crash-window rule as the table itself.  Layout: single-table
+    feeds keep ``<changes_dir>/batch=<id>``; multi-table feeds are
+    per-table partitioned ``<changes_dir>/<db>/<table>/batch=<id>``.
+
+    Freshly applied -> write; replayed-skip with the partition missing ->
+    the crash hit between apply and the feed write, so backfill now (the
+    snapshot is committed, the entry is fully reconstructible).  KeyError
+    covers never-committed (empty) batches and vacuumed manifests
+    (normalized by changes_for_batch); FileNotFoundError covers a table
+    dropped after the batch."""
+    part = (
+        os.path.join(changes_dir, database, table, f"batch={batch_id}")
+        if multi_table
+        else os.path.join(changes_dir, f"batch={batch_id}")
+    )
+    if skipped and os.path.exists(part):
+        return
+    try:
+        chg = consumer.table(database, table).changes_for_batch(batch_id)
+    except (KeyError, FileNotFoundError):
+        return
+    chg.write.mode("overwrite").parquet(part)
+
+
 def apply_batch_df(
     consumer: EventConsumer,
     batch_df: DataFrame,
@@ -73,11 +109,37 @@ def apply_batch_df(
 ) -> dict:
     """Apply one micro-batch DataFrame and record lineage."""
     m = consumer.apply_batch(database, table, batch_df, batch_id)
+    m["database"], m["table_name"] = database, table
     if checkpoint_dir:
         # offset range comes from the consumer's single pre-aggregation
         # pass — no extra job per batch
         _append_lineage(checkpoint_dir, m)
     return m
+
+
+def _maybe_auto_compact(
+    consumer: EventConsumer, database: str, table: str, threshold: int | None
+) -> None:
+    """Driver-loop compaction hook: when any bucket of the table holds
+    more than ``threshold`` files, bin-pack it (state-neutral commit —
+    batch/seq bookkeeping untouched, changelog across the commit empty).
+    File counts COMPOUND in a CDC lake (measured 43 -> 315 s/batch when
+    they run away, lake/table.py:overwrite_buckets), so steady-state
+    ingest needs this in the loop, not as a manual CLI step.  The check
+    is a driver-side manifest read — no Spark job unless compaction
+    actually runs."""
+    if threshold is None:
+        return
+    try:
+        t = consumer.table(database, table)
+        snap = t.current_snapshot()
+    except FileNotFoundError:
+        return
+    counts: dict[int, int] = {}
+    for f in snap["files"]:
+        counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+    if counts and max(counts.values()) > threshold:
+        t.compact(max_files_per_bucket=threshold)
 
 
 def run_microbatch_loop(
@@ -88,6 +150,7 @@ def run_microbatch_loop(
     checkpoint_dir: str,
     crash_after_apply_batch: int | None = None,
     changes_dir: str | None = None,
+    auto_compact_files_per_bucket: int | None = None,
 ) -> list[dict]:
     """Deterministic apply loop with two-phase commit: apply (atomic
     snapshot w/ batch-id dedup), then advance the checkpoint commit log.
@@ -100,7 +163,10 @@ def run_microbatch_loop(
     the feed is exactly-once with the same crash-window semantics as the
     table itself: a crash between apply and checkpoint re-applies the
     batch as a snapshot no-op and rewrites the same changelog partition
-    (mode=overwrite) idempotently."""
+    (mode=overwrite) idempotently.
+
+    ``auto_compact_files_per_bucket``: steady-state compaction hook —
+    see :func:`_maybe_auto_compact`."""
     done = read_commit_log(checkpoint_dir)
     out = []
     for batch_id, df in batches:
@@ -109,23 +175,14 @@ def run_microbatch_loop(
         m = apply_batch_df(consumer, df, batch_id, database, table, checkpoint_dir)
         out.append(m)
         if changes_dir is not None:
-            part = os.path.join(changes_dir, f"batch={batch_id}")
-            # freshly applied -> write; replayed-skip with the partition
-            # missing -> the crash hit between apply and the changelog
-            # write, so backfill it now (the snapshot is committed, the
-            # feed entry is fully reconstructible)
-            if not m.get("skipped") or not os.path.exists(part):
-                try:
-                    chg = consumer.table(database, table).changes_for_batch(
-                        batch_id
-                    )
-                except KeyError:
-                    chg = None  # batch never committed (e.g. empty)
-                if chg is not None:
-                    chg.write.mode("overwrite").parquet(part)
+            _write_changes_feed(
+                consumer, changes_dir, database, table, batch_id,
+                bool(m.get("skipped")), multi_table=False,
+            )
         if crash_after_apply_batch is not None and batch_id == crash_after_apply_batch:
             raise RuntimeError(f"simulated crash after applying batch {batch_id}")
         _commit(checkpoint_dir, batch_id)
+        _maybe_auto_compact(consumer, database, table, auto_compact_files_per_bucket)
     return out
 
 
@@ -137,6 +194,8 @@ def run_microbatch_loop_multi(
     tables: list[tuple[str, str]] | None = None,
     max_workers: int = 4,
     crash_after_apply_batch: int | None = None,
+    changes_dir: str | None = None,
+    auto_compact_files_per_bucket: int | None = None,
 ) -> list[dict]:
     """Multi-table apply loop (O23): every batch DataFrame carries
     ``(_database, _table)`` columns; per flush one apply task per table
@@ -144,8 +203,30 @@ def run_microbatch_loop_multi(
     tables committed — the reference's flush() contract
     (BigQueryEventConsumer.java:670-729).  A replayed batch no-ops per
     table via the snapshot batch-id check, so a partial failure retries
-    exactly the failed tables."""
+    exactly the failed tables.
+
+    ``tables=None`` discovers the topology ONCE from the union of all
+    supplied batches (one distinct-scan job total), not per flush — in
+    steady state the driver knows its topology and should pass it.
+
+    ``changes_dir``: eager per-table CDC-out feed, partitioned
+    ``<changes_dir>/<db>/<table>/batch=<id>`` — same exactly-once
+    crash-window rule as the single-table loop (the reference replicator
+    normally carries MANY tables, BigQueryEventConsumer.java:691-729, so
+    the feed must too)."""
     done = read_commit_log(checkpoint_dir)
+    if tables is None and batches:
+        from functools import reduce
+
+        union = reduce(
+            lambda a, b: a.unionByName(b), [df for _, df in batches]
+        )
+        tables = sorted(
+            (r["d"], r["t"])
+            for r in union.selectExpr("_database as d", "_table as t")
+            .distinct()
+            .collect()
+        )
     out = []
     for batch_id, df in batches:
         if batch_id <= done:
@@ -156,9 +237,17 @@ def run_microbatch_loop_multi(
         for m in ms:
             _append_lineage(checkpoint_dir, m)
         out.extend(ms)
+        if changes_dir is not None:
+            for m in ms:
+                _write_changes_feed(
+                    consumer, changes_dir, m["database"], m["table_name"],
+                    batch_id, bool(m.get("skipped")), multi_table=True,
+                )
         if crash_after_apply_batch is not None and batch_id == crash_after_apply_batch:
             raise RuntimeError(f"simulated crash after applying batch {batch_id}")
         _commit(checkpoint_dir, batch_id)
+        for db, tb in tables or []:
+            _maybe_auto_compact(consumer, db, tb, auto_compact_files_per_bucket)
     return out
 
 
@@ -196,13 +285,71 @@ def run_mixed_stream(
                 # generator-carried batch column
                 df = df.drop(C.BATCH_ID)
             ddls = item[2] if len(item) > 2 else []
-            if ddls:
-                ms = consumer.apply_mixed_batch(database, table, df, ddls, idx)
-            else:
-                ms = [consumer.apply_batch(database, table, df, idx)]
+            # EVERY DML item routes through the STRIDE sub-id space
+            # (lake ids idx*STRIDE+k), DDL-carrying or not: a plain item
+            # keyed by bare ``idx`` after a mixed item would compare
+            # idx <= (idx')*STRIDE+k and be silently skipped as replay —
+            # the id space must be uniform for the batch-id barrier to
+            # mean anything across item kinds.
+            ms = consumer.apply_mixed_batch(database, table, df, ddls, idx)
             for m in ms:
                 _append_lineage(checkpoint_dir, m)
             out.extend(ms)
+        elif kind == "ddl":
+            consumer.apply_ddl(item[1])
+        else:
+            raise ValueError(f"unknown stream item kind: {kind!r}")
+        _commit(checkpoint_dir, idx)
+    return out
+
+
+def run_mixed_stream_multi(
+    consumer: EventConsumer,
+    items: list,
+    checkpoint_dir: str,
+    *,
+    tables: list[tuple[str, str]] | None = None,
+    max_workers: int = 4,
+    changes_dir: str | None = None,
+) -> list[dict]:
+    """Multi-table mixed DML+DDL stream driver (O23 × O27): ``items``
+    carry every table's events — ``("dml", df)`` micro-batches with
+    ``(_database, _table)`` columns, optionally ``("dml", df, [DDLEvent,
+    ...])`` with DDL interleaved inside the batch's sequence range, and
+    standalone ``("ddl", DDLEvent)`` control events; all in stream
+    order.  A standalone DDL's force-flush is implicit (earlier items
+    are separate commits); an interleaved DDL routes to its table's
+    fan-out task, which splits that table's sub-stream at the DDL's
+    sequence point (consumer.apply_multi_table_mixed_batch).  Each item
+    is one checkpoint commit over ALL tables — the reference flush
+    contract (BigQueryEventConsumer.java:670-729).
+
+    ``changes_dir``: per-table eager CDC-out feed, same layout and
+    crash-window rule as run_microbatch_loop_multi — sub-segment lake
+    batch ids (idx*STRIDE+k) each get their own feed partition."""
+    done = read_commit_log(checkpoint_dir)
+    out = []
+    for idx, item in enumerate(items):
+        if idx <= done:
+            continue
+        kind = item[0]
+        if kind == "dml":
+            df = item[1]
+            if C.BATCH_ID in df.columns:
+                df = df.drop(C.BATCH_ID)
+            ddls = item[2] if len(item) > 2 else []
+            ms = consumer.apply_multi_table_mixed_batch(
+                df, ddls, idx, tables=tables, max_workers=max_workers
+            )
+            for m in ms:
+                _append_lineage(checkpoint_dir, m)
+            out.extend(ms)
+            if changes_dir is not None:
+                for m in ms:
+                    _write_changes_feed(
+                        consumer, changes_dir, m["database"], m["table_name"],
+                        m["batch_id"], bool(m.get("skipped")), multi_table=True,
+                    )
         elif kind == "ddl":
             consumer.apply_ddl(item[1])
         else:
@@ -223,6 +370,8 @@ def run_structured_stream(
     available_now: bool = True,
     multi_table: bool = False,
     changes_dir: str | None = None,
+    tables: list[tuple[str, str]] | None = None,
+    auto_compact_files_per_bucket: int | None = None,
 ):
     """Structured Streaming front-end: parquet file stream -> foreachBatch
     apply.  Spark's checkpoint gives the offset/commit log; the snapshot
@@ -230,33 +379,47 @@ def run_structured_stream(
 
     ``multi_table=True``: the stream carries ``(_database, _table)``
     columns and every micro-batch fans out per table on the consumer's
-    thread pool (O23); ``database``/``table`` are ignored.  foreachBatch
+    thread pool (O23); ``database``/``table`` are ignored (pass
+    ``tables`` to skip per-trigger topology discovery).  foreachBatch
     raising on any table fails the trigger, so Spark's commit log only
-    advances when ALL tables committed — the reference flush contract."""
+    advances when ALL tables committed — the reference flush contract.
+
+    ``changes_dir`` works in BOTH modes: the eager CDC-out feed is
+    written inside the trigger, before Spark advances its commit log, so
+    a replayed batch (skip via snapshot batch-id) backfills an absent
+    partition and a present one is rewritten idempotently.  Multi-table
+    feeds partition per table (``<changes_dir>/<db>/<table>/batch=<id>``)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if multi_table:
-            for m in consumer.apply_multi_table_batch(batch_df, batch_id):
+            ms = consumer.apply_multi_table_batch(
+                batch_df, batch_id, tables=tables
+            )
+            for m in ms:
                 _append_lineage(checkpoint_dir, m)
+            if changes_dir is not None:
+                for m in ms:
+                    _write_changes_feed(
+                        consumer, changes_dir, m["database"], m["table_name"],
+                        batch_id, bool(m.get("skipped")), multi_table=True,
+                    )
+            for m in ms:
+                _maybe_auto_compact(
+                    consumer, m["database"], m["table_name"],
+                    auto_compact_files_per_bucket,
+                )
         else:
             m = apply_batch_df(
                 consumer, batch_df, batch_id, database, table, checkpoint_dir
             )
             if changes_dir is not None:
-                # eager CDC-out inside the trigger: written before Spark
-                # advances its commit log, so a replayed batch (skip via
-                # snapshot batch-id) backfills an absent partition and a
-                # present one is rewritten idempotently
-                part = os.path.join(changes_dir, f"batch={batch_id}")
-                if not m.get("skipped") or not os.path.exists(part):
-                    try:
-                        chg = consumer.table(database, table).changes_for_batch(
-                            batch_id
-                        )
-                    except KeyError:
-                        chg = None
-                    if chg is not None:
-                        chg.write.mode("overwrite").parquet(part)
+                _write_changes_feed(
+                    consumer, changes_dir, database, table, batch_id,
+                    bool(m.get("skipped")), multi_table=False,
+                )
+            _maybe_auto_compact(
+                consumer, database, table, auto_compact_files_per_bucket
+            )
 
     reader = (
         spark.readStream.schema(schema)

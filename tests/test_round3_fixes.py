@@ -1,0 +1,343 @@
+"""Round-3 fixes, each pinned by a regression test:
+
+- changes_for_batch after maintenance commits (compact/rebucket/truncate
+  shadowing — the ADVICE snapshot_for_batch bug)
+- changes_for_batch KeyError normalization after vacuum (was
+  FileNotFoundError crashing the eager-feed backfill)
+- CLI rerun over a crashed two-phase window must NOT replay its
+  bootstrap CREATE_TABLE (the O29 cleanup would drop committed batches)
+- single-job apply barrier advances past trailing hard-DELETE winners
+  (footer stats can't see deleted rows; an Observation on the diff can)
+- mixed-stream id space: a plain DML item after a DDL-carrying item must
+  not be skipped as replay
+- multi-table × mixed DML/DDL composition and the multi-table eager
+  CDC-out feed
+"""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from bigquery_delta_plugins_spark import constants as C
+from bigquery_delta_plugins_spark.operators.changes import CHANGE_TYPE
+from bigquery_delta_plugins_spark.streaming.consumer import EventConsumer
+from bigquery_delta_plugins_spark.streaming.driver import (
+    run_microbatch_loop_multi,
+    run_mixed_stream,
+    run_mixed_stream_multi,
+)
+from bigquery_delta_plugins_spark.types import DDLEvent, DDLOp
+
+SRC = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+STAGING = T.StructType(
+    [
+        T.StructField(C.OPERATION, T.StringType(), False),
+        T.StructField(C.SEQUENCE_NUM, T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("_before_user_id", T.LongType(), True),
+    ]
+)
+
+MULTI = T.StructType(
+    STAGING.fields
+    + [
+        T.StructField("_database", T.StringType(), True),
+        T.StructField("_table", T.StringType(), True),
+    ]
+)
+
+
+def _consumer(spark, tmp_path, **kw):
+    c = EventConsumer(spark, str(tmp_path / "wh"), num_buckets=2, **kw)
+    return c
+
+
+def _create(c, tables=("t",)):
+    for t in tables:
+        c.apply_ddl(
+            DDLEvent(DDLOp.CREATE_TABLE, "db", t, schema=SRC, primary_keys=["user_id"])
+        )
+
+
+def _ins(spark, rows):
+    return spark.createDataFrame(rows, STAGING)
+
+
+def test_changes_for_batch_survives_maintenance_commits(spark, tmp_path):
+    """compact/rebucket copy the batch summary unchanged; the per-batch
+    changelog must keep diffing the batch's REAL final commit, not the
+    maintenance snapshot (which would yield an empty/garbage feed)."""
+    c = _consumer(spark, tmp_path)
+    _create(c)
+    c.apply_batch("db", "t", _ins(spark, [("INSERT", 1, 1, 1.0, None),
+                                          ("INSERT", 2, 2, 2.0, None)]), 0)
+    c.apply_batch("db", "t", _ins(spark, [("UPDATE", 3, 1, 10.0, 1),
+                                          ("INSERT", 4, 5, 5.0, None)]), 1)
+    t = c.table("db", "t")
+    want = sorted(map(str, t.changes_for_batch(1).collect()))
+    assert want
+
+    t.compact(max_files_per_bucket=1)
+    got = sorted(map(str, c.table("db", "t").changes_for_batch(1).collect()))
+    assert got == want
+
+    t.rebucket(4)
+    got = sorted(map(str, c.table("db", "t").changes_for_batch(1).collect()))
+    assert got == want
+
+    c.apply_ddl(DDLEvent(DDLOp.TRUNCATE_TABLE, "db", "t"))
+    got = sorted(map(str, c.table("db", "t").changes_for_batch(1).collect()))
+    assert got == want
+
+
+def test_changes_for_batch_vacuumed_raises_keyerror(spark, tmp_path):
+    """Vacuumed manifests surface as KeyError (the docstring contract the
+    eager-feed backfill relies on), never FileNotFoundError."""
+    c = _consumer(spark, tmp_path)
+    _create(c)
+    for b in range(3):
+        c.apply_batch(
+            "db", "t",
+            _ins(spark, [("INSERT", b * 10 + 1, b, float(b), None)]), b,
+        )
+    t = c.table("db", "t")
+    t.vacuum(keep_snapshots=1)
+    with pytest.raises(KeyError):
+        t.changes_for_batch(0)
+
+
+def test_cli_rerun_does_not_drop_crashed_two_phase_table(spark, tmp_path):
+    """ADVICE: a CLI rerun over a table whose previous run crashed inside
+    the two-phase direct-load window (direct_load_in_progress set) must
+    not replay its bootstrap CREATE_TABLE — the O29 cleanup would drop
+    every committed batch while the checkpoint log blocks re-apply."""
+    from bigquery_delta_plugins_spark import cli
+    from bigquery_delta_plugins_spark.sources.gen import synth_events
+
+    events_dir = str(tmp_path / "events")
+    synth_events(spark, 600, 40, batch_size=300).write.partitionBy(
+        C.BATCH_ID
+    ).parquet(events_dir)
+    wh = str(tmp_path / "wh")
+    argv = ["apply", "--events", events_dir, "--warehouse", wh,
+            "--table", "web.pages", "--no-extract"]
+    assert cli.main(argv) == 0
+    c = EventConsumer(spark, wh)
+    t = c.table("web", "pages")
+    rows_before = t.read().count()
+    assert rows_before > 0
+
+    # simulate a crash inside the two-phase window: dli flag committed
+    t.append(spark.createDataFrame([], t.schema), 99, advance_batch=False)
+    assert t.direct_load_in_progress() == 99
+
+    # rerun: batches skip via the checkpoint; the table must survive
+    assert cli.main(argv) == 0
+    t2 = EventConsumer(spark, wh).table("web", "pages")
+    assert t2.read().count() == rows_before
+    # and the half-load flag is still there for a REAL source-initiated
+    # CREATE_TABLE event to act on
+    assert t2.direct_load_in_progress() == 99
+
+
+def test_single_job_barrier_covers_trailing_deletes(spark, tmp_path):
+    """ADVICE: in single-job mode the replay barrier comes from written
+    parquet footers; hard-DELETE winners appear in no footer, so a batch
+    ending in deletes under-advanced the barrier.  The Observation on
+    the diff must carry it to the batch's true max sequence."""
+    c = _consumer(spark, tmp_path, single_job_per_batch=True)
+    _create(c)
+    c.apply_batch("db", "t", _ins(spark, [
+        ("INSERT", 1, 1, 1.0, None), ("INSERT", 2, 2, 2.0, None),
+        ("INSERT", 3, 3, 3.0, None), ("INSERT", 4, 4, 4.0, None),
+    ]), 0)
+    c.apply_batch("db", "t", _ins(spark, [
+        ("DELETE", 5, 1, 1.0, 1), ("DELETE", 6, 2, 2.0, 2),
+    ]), 1)
+    t = c.table("db", "t")
+    assert sorted(r["user_id"] for r in t.read().collect()) == [3, 4]
+    # footers alone would report 4 (survivors' max); the true barrier is 6
+    assert t.latest_merged_seq() == 6
+
+
+def test_mixed_stream_plain_dml_after_mixed_item(spark, tmp_path):
+    """Round-2 latent bug: a plain ("dml", df) item AFTER a DDL-carrying
+    item was keyed by bare idx, compared against the strided lake batch
+    id, and silently skipped as replay — losing its rows."""
+    c = _consumer(spark, tmp_path)
+    _create(c)
+    wide = T.StructType(SRC.fields + [T.StructField("extra", T.StringType(), True)])
+    alter = DDLEvent(DDLOp.ALTER_TABLE, "db", "t", schema=wide,
+                     primary_keys=["user_id"], sequence_num=3)
+    staging_x = T.StructType(
+        STAGING.fields[:4]
+        + [T.StructField("extra", T.StringType(), True)]
+        + STAGING.fields[4:]
+    )
+    d0 = _ins(spark, [("INSERT", 1, 1, 1.0, None), ("INSERT", 2, 2, 2.0, None)])
+    # post-ALTER events carry the evolved column
+    d1 = spark.createDataFrame(
+        [("INSERT", 4, 7, 7.0, "x7", None), ("UPDATE", 5, 1, 10.0, "x1", 1)],
+        staging_x,
+    )
+    items = [("dml", d0, [alter]), ("dml", d1)]
+    run_mixed_stream(c, items, "db", "t", str(tmp_path / "cp"))
+    got = {r["user_id"]: (r["value"], r["extra"])
+           for r in c.table("db", "t").read().collect()}
+    assert got == {1: (10.0, "x1"), 2: (2.0, None), 7: (7.0, "x7")}
+
+
+def _multi_rows(spark, rows):
+    return spark.createDataFrame(rows, MULTI)
+
+
+def test_multi_table_mixed_alter_mid_stream(spark, tmp_path):
+    """O23 × O27: an ALTER for one table interleaved inside a multi-table
+    micro-batch force-flushes THAT table's earlier segment while the
+    other table's DML applies normally in the same flush."""
+    c = _consumer(spark, tmp_path)
+    _create(c, tables=("a", "b"))
+    wide = T.StructType(SRC.fields + [T.StructField("extra", T.StringType(), True)])
+    alter = DDLEvent(DDLOp.ALTER_TABLE, "db", "a", schema=wide,
+                     primary_keys=["user_id"], sequence_num=5)
+    # stream rows carry `extra` throughout (the source evolved); the
+    # pre-ALTER segment's target simply lacks the column yet
+    multi_x = T.StructType(
+        STAGING.fields[:4]
+        + [T.StructField("extra", T.StringType(), True)]
+        + STAGING.fields[4:]
+        + [
+            T.StructField("_database", T.StringType(), True),
+            T.StructField("_table", T.StringType(), True),
+        ]
+    )
+    batch = spark.createDataFrame([
+        ("INSERT", 1, 1, 1.0, "e1", None, "db", "a"),
+        ("INSERT", 2, 2, 2.0, "e2", None, "db", "b"),
+        ("INSERT", 3, 3, 3.0, "e3", None, "db", "a"),
+        # post-ALTER update for table a; plain insert for b
+        ("UPDATE", 6, 1, 10.0, "e6", 1, "db", "a"),
+        ("INSERT", 7, 9, 9.0, "e7", None, "db", "b"),
+    ], multi_x)
+    ms = run_mixed_stream_multi(
+        c, [("dml", batch, [alter])], str(tmp_path / "cp")
+    )
+    assert {(m["database"], m["table_name"]) for m in ms} == {("db", "a"), ("db", "b")}
+    a = {r["user_id"]: (r["value"], r["extra"])
+         for r in c.table("db", "a").read().collect()}
+    b = {r["user_id"]: r["value"] for r in c.table("db", "b").read().collect()}
+    # user 1 updated post-ALTER (gets extra); user 3 pre-ALTER -> NULL
+    assert a == {1: (10.0, "e6"), 3: (3.0, None)} and b == {2: 2.0, 9: 9.0}
+    assert "extra" not in [f.name for f in c.table("db", "b").schema.fields]
+
+
+def test_multi_table_mixed_create_mid_stream(spark, tmp_path):
+    """A NEW table born by a CREATE_TABLE event inside a multi-table
+    flush: its post-CREATE DML applies, other tables are unaffected."""
+    c = _consumer(spark, tmp_path)
+    _create(c, tables=("a",))
+    create = DDLEvent(DDLOp.CREATE_TABLE, "db", "fresh", schema=SRC,
+                      primary_keys=["user_id"], sequence_num=4)
+    batch = _multi_rows(spark, [
+        ("INSERT", 1, 1, 1.0, None, "db", "a"),
+        ("INSERT", 5, 100, 100.0, None, "db", "fresh"),
+        ("INSERT", 6, 101, 101.0, None, "db", "fresh"),
+    ])
+    run_mixed_stream_multi(c, [("dml", batch, [create])], str(tmp_path / "cp"))
+    assert c.table("db", "a").read().count() == 1
+    fresh = {r["user_id"] for r in c.table("db", "fresh").read().collect()}
+    assert fresh == {100, 101}
+
+
+def test_multi_table_changes_dir_feed(spark, tmp_path):
+    """The eager CDC-out feed through the MULTI-table loop: per-table
+    partitions, exactly-once under the crash window, feed == on-demand
+    changelog for every (table, batch)."""
+    c = _consumer(spark, tmp_path)
+    _create(c, tables=("a", "b"))
+    b0 = _multi_rows(spark, [
+        ("INSERT", 1, 1, 1.0, None, "db", "a"),
+        ("INSERT", 2, 2, 2.0, None, "db", "b"),
+    ])
+    b1 = _multi_rows(spark, [
+        ("UPDATE", 3, 1, 10.0, 1, "db", "a"),
+        ("DELETE", 4, 2, 2.0, 2, "db", "b"),
+        ("INSERT", 5, 7, 7.0, None, "db", "b"),
+    ])
+    cp, feed = str(tmp_path / "cp"), str(tmp_path / "feed")
+    tables = [("db", "a"), ("db", "b")]
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_microbatch_loop_multi(
+            c, [(0, b0), (1, b1)], cp, tables=tables,
+            crash_after_apply_batch=1, changes_dir=feed,
+        )
+    # drop one feed partition to force the backfill path on resume
+    import shutil
+
+    shutil.rmtree(os.path.join(feed, "db", "a", "batch=1"))
+    run_microbatch_loop_multi(
+        c, [(0, b0), (1, b1)], cp, tables=tables, changes_dir=feed
+    )
+    for db, tb in tables:
+        t = c.table(db, tb)
+        for b in range(2):
+            part = os.path.join(feed, db, tb, f"batch={b}")
+            got = sorted(map(str, spark.read.parquet(part).collect()))
+            want = sorted(map(str, t.changes_for_batch(b).collect()))
+            assert got == want and got, (db, tb, b)
+    # spot-check semantics: table b batch 1 = one delete + one insert
+    fb = {
+        r["user_id"]: r[CHANGE_TYPE]
+        for r in spark.read.parquet(
+            os.path.join(feed, "db", "b", "batch=1")
+        ).collect()
+    }
+    assert fb == {2: "delete", 7: "insert"}
+
+
+def test_auto_compact_keeps_file_counts_bounded(spark, tmp_path, monkeypatch):
+    """Driver-loop auto-compaction: many small batches leave at most
+    ``threshold`` files per bucket, state bookkeeping untouched, and the
+    changelog across compaction commits is empty (state-neutral).
+
+    WRITE_REPARTITION is disabled so each commit lands multiple files
+    per bucket (the compounding-file-count regime the hook exists for —
+    with the pre-write exchange on, merge commits keep ~1 file/bucket
+    and the hook would never fire)."""
+    from bigquery_delta_plugins_spark.lake.table import LakeTable
+    from bigquery_delta_plugins_spark.streaming.driver import run_microbatch_loop
+
+    monkeypatch.setattr(LakeTable, "WRITE_REPARTITION", False)
+    c = _consumer(spark, tmp_path, single_job_per_batch=False)
+    _create(c)
+    batches = [
+        (b, _ins(spark, [("INSERT", b * 2 + 1, b, float(b), None),
+                         ("UPDATE", b * 2 + 2, max(b - 1, 0), float(b), max(b - 1, 0))]))
+        for b in range(12)
+    ]
+    run_microbatch_loop(
+        c, batches, "db", "t", str(tmp_path / "cp"),
+        auto_compact_files_per_bucket=2,
+    )
+    t = c.table("db", "t")
+    snap = t.current_snapshot()
+    per_bucket: dict[int, int] = {}
+    for f in snap["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert per_bucket and max(per_bucket.values()) <= 2
+    # compaction actually ran: more snapshots than DML commits alone
+    n_snaps = t.history().count()
+    assert n_snaps > 13, n_snaps  # 1 create + 12 batches + >=1 compaction
+    # bookkeeping survived compaction commits
+    assert t.latest_batch_id() == 11
+    assert {r["user_id"] for r in t.read().collect()} == set(range(12))
+    # and every batch's changelog is still reachable and correct
+    assert t.changes_for_batch(11).count() > 0
