@@ -103,8 +103,11 @@ def run_cdc_apply(spark, n_events: int, batch_size: int = 50000) -> dict:
     consumer = EventConsumer(
         spark, os.path.join(root, "wh"), num_buckets=32, count_diff_rows=False,
         # the documented throughput mode (BENCH/BASELINE.md): one Spark
-        # job per steady batch, byte-identical to the standard path
+        # job per steady batch, byte-identical to the standard path;
+        # synth_events is a valid binlog, so the unique-key source
+        # contract holds and the merge scans the target exactly once
         single_job_per_batch=True, single_job_merge_strategy="broadcast",
+        assume_unique_keys=True,
     )
     consumer.apply_ddl(
         DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=pages, primary_keys=["url"])

@@ -69,6 +69,7 @@ def _consumer(spark, args, schema, db, tb, pks):
         soft_deletes=args.soft_deletes,
         row_transform=None if args.no_extract else _extract_transform(),
         single_job_per_batch=args.single_job,
+        assume_unique_keys=args.assume_unique_keys,
     )
     # Bootstrap CREATE only when the table does not exist yet: a CLI rerun
     # over a table whose last run crashed inside the two-phase direct-load
@@ -271,6 +272,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="skip the vectorized html->text transform")
         a.add_argument("--single-job", action="store_true",
                        help="single-Spark-job-per-batch apply mode")
+        a.add_argument("--assume-unique-keys", action="store_true",
+                       help="declare the source PK contract (at most one "
+                       "live row per key) -> single-target-scan broadcast "
+                       "merge; leave off for sources that may replay bare "
+                       "INSERTs of existing keys")
         a.add_argument("--changes-dir", default=None,
                        help="eager per-batch CDC-out feed (parquet partitions)")
         if name == "stream":

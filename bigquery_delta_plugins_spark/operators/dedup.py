@@ -75,7 +75,33 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
+def _finish(result: DataFrame, releases: list, eager_release: bool) -> DataFrame:
+    """Persist-hygiene epilogue shared by the dedup/similarity pair
+    operators: the persisted shingle/signature/projection indexes are
+    each justified (consumed 2-3x by interpreted HOF chains — measured),
+    but a long-lived session running many queries (bench.py, a
+    production driver) would otherwise accrete cached partitions until
+    eviction pressure causes recomputation storms elsewhere.
+
+    ``eager_release=True`` (production default): materialize the SMALL
+    pair result once (``localCheckpoint(eager=True)`` — checkpointed
+    blocks are reclaimed by the ContextCleaner when the result is GC'd),
+    then unpersist every index immediately — storage occupancy stays
+    flat across repeated queries.  Pass ``False`` to keep the lazy plan
+    (plan-shape tests, or callers composing further before the action —
+    they inherit the release responsibility)."""
+    if not eager_release:
+        return result
+    result = result.localCheckpoint(eager=True)
+    for df in releases:
+        df.unpersist()
+    return result
+
+
+def _pair_jaccard(
+    sh: DataFrame, pairs: DataFrame | None, threshold: float,
+    releases: list | None = None,
+) -> DataFrame:
     """Jaccard for (id_a, id_b) pairs from a shingle index.  With
     ``pairs`` given, the intersection join is candidate-restricted.
 
@@ -83,8 +109,12 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> D
     sides + per-doc counts) and the shingling expression is a chain of
     higher-order functions (transform/slice/concat_ws) that Spark
     evaluates interpreted, not codegen'd — measured 2.5s/pass on 5k
-    docs, so recomputation, not the join, dominated the query."""
+    docs, so recomputation, not the join, dominated the query.  The
+    persisted handle is appended to ``releases`` for the caller's
+    eager-release epilogue (:func:`_finish`)."""
     sh = sh.persist()
+    if releases is not None:
+        releases.append(sh)
     cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if pairs is None:
         common = (
@@ -131,13 +161,16 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    eager_release: bool = True,
 ) -> DataFrame:
     """Exhaustive n-gram Jaccard near-dup pairs (the ground truth the
     LSH variants approximate).  ``max_df`` caps shingle document
     frequency to kill the hot-shingle quadratic blow-up at scale."""
+    releases: list = []
     sh = shingles(df, id_col, text_col, k)
     if max_df is not None:
         sh = sh.persist()  # scanned for df stats AND by the filtered index
+        releases.append(sh)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -145,7 +178,9 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    return _pair_jaccard(sh, None, threshold)
+    return _finish(
+        _pair_jaccard(sh, None, threshold, releases), releases, eager_release
+    )
 
 
 def minhash_lsh_pairs(
@@ -157,6 +192,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    eager_release: bool = True,
 ) -> DataFrame:
     """MinHash signatures -> banded LSH candidates -> Jaccard verify.
 
@@ -186,6 +222,7 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.posexplode(band_vals).alias("band_idx", "band_val")
     ).persist()
+    releases: list = [banded]
     cand = (
         banded.alias("a")
         .join(
@@ -197,7 +234,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _pair_jaccard(sh, cand, threshold)
+    return _finish(
+        _pair_jaccard(sh, cand, threshold, releases), releases, eager_release
+    )
 
 
 def _simhash_from_features(feat: DataFrame, feat_col: str) -> DataFrame:
@@ -238,6 +277,7 @@ def simhash_pairs(
     k: int = 3,
     max_hamming: int = 2,
     threshold: float = 0.5,
+    eager_release: bool = True,
 ) -> DataFrame:
     """SimHash-blocked near-dup pairs: band-join candidates (4 x 8-bit
     bands — complete for hamming <= 3 by pigeonhole), hamming filter via
@@ -251,6 +291,7 @@ def simhash_pairs(
     only true near-dups collide; the same persisted shingle index then
     feeds the Jaccard verify — one feature pass for the whole query."""
     sh = shingles(df, id_col, text_col, k).persist()
+    releases: list = [sh]
     sim = _simhash_from_features(sh, "shingle")
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     bands = F.array(
@@ -266,6 +307,7 @@ def simhash_pairs(
     banded = sim.select(
         "id", "simhash", F.posexplode(bands).alias("band_idx", "band_val")
     ).persist()
+    releases.append(banded)
     cand = (
         banded.alias("a")
         .join(
@@ -284,10 +326,11 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    verified = _pair_jaccard(sh, cand.select("id_a", "id_b"), threshold)
-    return verified.join(cand, ["id_a", "id_b"]).select(
+    verified = _pair_jaccard(sh, cand.select("id_a", "id_b"), threshold, releases)
+    result = verified.join(cand, ["id_a", "id_b"]).select(
         "id_a", "id_b", "hamming", "jaccard"
     )
+    return _finish(result, releases, eager_release)
 
 
 def _bloom_positions(h: "object", m_bits: int, k: int):

@@ -82,6 +82,7 @@ def merge_apply(
     soft_deletes: bool = False,
     sort_key_count: int = 0,
     strategy: str = "shuffle",
+    unique_key_target: bool = False,
 ) -> DataFrame:
     """Return the post-merge target state (same schema as ``target``).
 
@@ -90,15 +91,49 @@ def merge_apply(
     - ``"shuffle"``: one full-outer join on the key — both sides shuffle.
       Always correct; required when the diff is too large to broadcast.
     - ``"broadcast"``: the flattened diff is at most one row per key, so
-      when it fits the broadcast budget the merge becomes two
-      broadcast-hash joins and ZERO exchanges of the (huge) target side:
-      (1) ``target LEFT OUTER broadcast(diff)`` evaluates every
-      matched/keep arm, (2) ``diff LEFT ANTI broadcast(matched keys)``
-      (matched keys come from a broadcast semi-join scan of the target,
-      bounded by |diff|) yields the not-matched arms.  At 10^10-row
-      table scale this is the difference between shuffling every touched
-      bucket per batch and shuffling nothing of the target at all.
-      Row-level semantics are identical to ``"shuffle"``.
+      when it fits the broadcast budget the merge runs with ZERO
+      exchanges of the (huge) target side.  Two sub-plans:
+
+      * **ordered + hard deletes with ``unique_key_target=True``**: ONE
+        broadcast join, ONE target scan.  The guard is trivially true,
+        so every matched target row is either replaced (ins/upd) or
+        dropped (delete) — survivors are exactly
+        ``target LEFT ANTI broadcast(diff keys)``.  And a D-driven
+        output row is column-for-column identical whether or not it
+        matched (TAKE_D ≡ the insert arm: plain columns and
+        ``_sequence_num`` from D, ``_is_deleted`` NULL, and the
+        remaining audit columns are invariantly NULL under ordered
+        operation — ``_source_timestamp``/``_sort`` are never written
+        by ordered sources and ``_row_id`` is NULL for non-row-id
+        sources / taken from D otherwise).  So ALL ins/upd diff rows
+        project straight to output rows, no join needed.  At 10^10-row
+        table scale this halves the batch's dominant cost vs the
+        round-2 plan, which scanned every touched bucket twice.
+
+        ``unique_key_target`` is a DECLARED SOURCE CONTRACT: at most one
+        live target row per join key — true for any real binlog (the
+        source database enforces its own primary keys).  The reference
+        MERGE is *total* over degenerate duplicate-key states (repeated
+        bare INSERTs of one key insert duplicate rows, and a later
+        matched UPDATE then rewrites EVERY matching row); the fast path
+        would emit that update once instead of per-row, so it must stay
+        off unless the contract holds.  The default keeps the
+        reference-exact two-pass plan (pinned by the hypothesis
+        differential test over adversarial streams).
+
+      * **soft deletes / unordered**: the matched arms depend on target
+        state (tombstone guard, happens-before ordering), so the plan is
+        (1) ``target LEFT OUTER broadcast(diff)`` evaluating every
+        matched/keep arm, and (2) a second pass for the not-matched
+        arms: ``diff LEFT ANTI broadcast(matched keys)`` where matched
+        keys come from a broadcast semi-join of the target.  The second
+        pass needs ONLY the key columns, which column pruning pushes to
+        the parquet scan (asserted in tests/test_plans.py) — on a
+        payload-heavy table the re-read is a few % of bytes, the
+        information-theoretic minimum for guard semantics that require
+        knowing target membership.
+
+      Row-level semantics are identical to ``"shuffle"`` in all modes.
     """
     out_cols = target.columns
     source_cols = [
@@ -136,7 +171,26 @@ def merge_apply(
             c = tc(k) == dc(C.BEFORE_PREFIX + k)
             join_cond = c if join_cond is None else join_cond & c
 
-    if strategy == "broadcast":
+    if (
+        strategy == "broadcast"
+        and unique_key_target
+        and not unordered
+        and not soft_deletes
+    ):
+        # Single-scan fast path (see the strategy docstring): survivors
+        # are the target rows no diff key touches (guard ≡ true, so a
+        # match always replaces or deletes); every ins/upd diff row —
+        # matched or not — projects to the same output columns as the
+        # insert arm.  One broadcast anti join, one target scan, and the
+        # broadcast payload is only the KEY columns of the diff.
+        keys_only = d_joinable.select(*d_key_cols).alias("D")
+        survivors = target.alias("T").join(
+            F.broadcast(keys_only), join_cond, "left_anti"
+        )
+        merged = survivors.select(*[F.col(c).alias(c) for c in out_cols])
+        d_keyless = diff  # ALL diff rows take the insert-arm projection
+        joined = None
+    elif strategy == "broadcast":
         # (1) every target row + its (unique-per-key) diff match
         joined = t.join(F.broadcast(d), join_cond, "left_outer")
         # (2) diff rows with no target partner, via broadcast key passes
@@ -161,53 +215,54 @@ def merge_apply(
     else:
         joined = t.join(d, join_cond, "full_outer")
 
-    matched = tc(_T_MARK).isNotNull() & dc(_D_MARK).isNotNull()
-    op = dc(C.OPERATION)
-    ins_upd = op.isin(C.OP_INSERT, C.OP_UPDATE)
-    is_del = op == C.OP_DELETE
+    if joined is not None:
+        matched = tc(_T_MARK).isNotNull() & dc(_D_MARK).isNotNull()
+        op = dc(C.OPERATION)
+        ins_upd = op.isin(C.OP_INSERT, C.OP_UPDATE)
+        is_del = op == C.OP_DELETE
 
-    if unordered:
-        guard = happens_before(tc, dc, sort_key_count)
-        del_action = _TOMB_D
-    elif soft_deletes:
-        guard = F.coalesce(tc(C.IS_DELETED), F.lit(False)) == F.lit(False)
-        del_action = _TOMB_T
-    else:
-        guard = F.lit(True)
-        del_action = _DROP
+        if unordered:
+            guard = happens_before(tc, dc, sort_key_count)
+            del_action = _TOMB_D
+        elif soft_deletes:
+            guard = F.coalesce(tc(C.IS_DELETED), F.lit(False)) == F.lit(False)
+            del_action = _TOMB_T
+        else:
+            guard = F.lit(True)
+            del_action = _DROP
 
-    action = (
-        F.when(matched & is_del & guard, F.lit(del_action))
-        .when(matched & ins_upd & guard, F.lit(_TAKE_D))
-        .when(tc(_T_MARK).isNotNull(), F.lit(_KEEP_T))  # T-only or guard failed
-        .when(ins_upd, F.lit(_TAKE_D))  # D-only insert/update
-        .otherwise(F.lit(_TOMB_D if unordered else _DROP))  # D-only delete
-    )
-    joined = joined.withColumn(_ACTION, action).filter(F.col(_ACTION) != _DROP)
-    act = F.col(_ACTION)
-    from_d = act.isin(_TAKE_D, _TOMB_D)
+        action = (
+            F.when(matched & is_del & guard, F.lit(del_action))
+            .when(matched & ins_upd & guard, F.lit(_TAKE_D))
+            .when(tc(_T_MARK).isNotNull(), F.lit(_KEEP_T))  # T-only or guard failed
+            .when(ins_upd, F.lit(_TAKE_D))  # D-only insert/update
+            .otherwise(F.lit(_TOMB_D if unordered else _DROP))  # D-only delete
+        )
+        joined = joined.withColumn(_ACTION, action).filter(F.col(_ACTION) != _DROP)
+        act = F.col(_ACTION)
+        from_d = act.isin(_TAKE_D, _TOMB_D)
 
-    def out(name: str) -> Column:
-        if name == C.IS_DELETED:
-            return (
-                F.when(act == _TAKE_D, F.lit(None).cast("boolean"))
-                .when(act.isin(_TOMB_T, _TOMB_D), F.lit(True))
-                .otherwise(tc(C.IS_DELETED))
-            )
-        if name == C.SEQUENCE_NUM:
-            return F.when(from_d, dc(C.SEQUENCE_NUM)).otherwise(tc(C.SEQUENCE_NUM))
-        if name == C.ROW_ID:
-            if row_id_supported:
-                return F.when(from_d, dc(C.ROW_ID)).otherwise(tc(C.ROW_ID))
-            return tc(C.ROW_ID)
-        if name in (C.SOURCE_TIMESTAMP, C.SORT_KEYS):
-            if unordered:
-                return F.when(from_d, dc(name)).otherwise(tc(name))
-            return tc(name)
-        # plain source column
-        return F.when(from_d, dc(name)).otherwise(tc(name))
+        def out(name: str) -> Column:
+            if name == C.IS_DELETED:
+                return (
+                    F.when(act == _TAKE_D, F.lit(None).cast("boolean"))
+                    .when(act.isin(_TOMB_T, _TOMB_D), F.lit(True))
+                    .otherwise(tc(C.IS_DELETED))
+                )
+            if name == C.SEQUENCE_NUM:
+                return F.when(from_d, dc(C.SEQUENCE_NUM)).otherwise(tc(C.SEQUENCE_NUM))
+            if name == C.ROW_ID:
+                if row_id_supported:
+                    return F.when(from_d, dc(C.ROW_ID)).otherwise(tc(C.ROW_ID))
+                return tc(C.ROW_ID)
+            if name in (C.SOURCE_TIMESTAMP, C.SORT_KEYS):
+                if unordered:
+                    return F.when(from_d, dc(name)).otherwise(tc(name))
+                return tc(name)
+            # plain source column
+            return F.when(from_d, dc(name)).otherwise(tc(name))
 
-    merged = joined.select(*[out(c).alias(c) for c in out_cols])
+        merged = joined.select(*[out(c).alias(c) for c in out_cols])
 
     # NOT-MATCHED arms for events with NULL join keys (pure inserts, and
     # unordered keyless deletes -> tombstone insert).

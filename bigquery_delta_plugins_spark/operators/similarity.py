@@ -29,12 +29,19 @@ from pyspark.sql import functions as F
 DEFAULT_PLANES = 8
 
 
-def plane_signs(planes: int, dim: int) -> list[list[int]]:
+def plane_signs(planes: int, dim: int, table: int = 0) -> list[list[int]]:
     """Deterministic +1/-1 hyperplane matrix from md5 nibble parity of
-    ``"{plane}_{dim}"`` — reproducible in any engine / language."""
+    ``"{plane}_{dim}"`` — reproducible in any engine / language.
+
+    ``table`` > 0 derives an INDEPENDENT matrix per LSH hash table
+    (seed ``"t{table}:{plane}_{dim}"``); table 0 keeps the original
+    seed so single-table callers and their oracles are unchanged."""
+    prefix = f"t{table}:" if table else ""
     return [
         [
-            1 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            1
+            if int(hashlib.md5(f"{prefix}{p}_{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
             for d in range(dim)
         ]
         for p in range(planes)
@@ -101,6 +108,8 @@ def cosine_pairs_banded(
     threshold: float = 0.4,
     planes: int = 4,
     dim: int = 64,
+    n_tables: int = 1,
+    eager_release: bool = True,
 ) -> DataFrame:
     """Sign-LSH-banded cosine near-dup pairs — the scale path.
 
@@ -108,28 +117,36 @@ def cosine_pairs_banded(
     (``planes`` hyperplanes -> 2^planes buckets), so the compare count
     is sum over buckets of |bucket|^2/2 instead of n^2/2 — an equi-join
     Catalyst shuffles by bucket (AQE splits a skewed bucket).  Exact
-    cosine within the bucket; recall < 1 by construction (a near-dup
-    pair split by a hyperplane is missed) — audit with ``cosine_pairs``
-    on a sample, exactly like ann_lsh_topk vs ann_bruteforce_topk."""
-    signs = plane_signs(planes, dim)
+    cosine within the bucket, so there are no false positives; recall is
+    the only loss axis.
+
+    ``n_tables`` > 1 is the classic multi-table LSH recall lever: L
+    INDEPENDENT hyperplane sets, candidates = union of per-table bucket
+    collisions (joined on (table, bucket) — still an equi-join), pairs
+    deduped before the threshold filter.  A pair with per-plane
+    collision probability q survives one table with q^p but L tables
+    with 1-(1-q^p)^L — measured on the sf0.01 corpus this lifts pair
+    recall 0.20 (1 table) -> ~0.7 (8 tables); the recall/cost point is
+    audited numerically by plans/recall.py against ``cosine_pairs``."""
+    buckets = _bucket_array(f"`{vec_col}`", planes, dim, n_tables)
     # persisted: both self-join sides consume it, and the per-row
     # norm + plane-dot folds are interpreted higher-order functions
     proj = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col), dim).alias("nrm"),
-        lsh_bucket(F.col(vec_col), signs).alias("bucket"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
     ).persist()
     a = proj.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "bucket",
+        F.col("nrm").alias("na"), "tbl", "bucket",
     )
     b = proj.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "bucket",
+        F.col("nrm").alias("nb"), "tbl", "bucket",
     )
-    return (
-        a.join(b, "bucket")
+    result = (
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -138,8 +155,12 @@ def cosine_pairs_banded(
                 "cosine"
             ),
         )
+        .distinct()  # a pair colliding in several tables counts once
         .filter(F.col("cosine") >= threshold)
     )
+    from .dedup import _finish
+
+    return _finish(result, [proj], eager_release)
 
 
 def _topk(joined: DataFrame, k: int) -> DataFrame:
@@ -183,12 +204,60 @@ def ann_bruteforce_topk(
     return _topk(joined, k)
 
 
+def _sign_row(row: list[int]) -> Column:
+    """±1 row as ONE array literal built by a single JVM-parsed expr
+    string.  Both ``F.array(*[F.lit(s) ...])`` AND ``F.lit([...])``
+    (which desugars to the former) cost one py4j round-trip per element
+    — measured 27 ms per 64-dim row vs 2 ms for the expr form; at 12
+    tables × 4 planes that difference is seconds of driver-side plan
+    build per query."""
+    return F.expr(_sign_row_sql(row))
+
+
+def _sign_row_sql(row: list[int]) -> str:
+    return "array(" + ",".join(f"{float(s)}D" for s in row) + ")"
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-string twin of :func:`dot` — parses to the IDENTICAL Catalyst
+    expression (ZipWith of double casts folded by aggregate from 0.0D),
+    so results are bit-for-bit the same; exists purely to build large
+    plane-bank expressions in ONE py4j call instead of thousands."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_sql(vec_sql: str, signs: list[list[int]]) -> str:
+    """Sign-LSH bucket id of one hyperplane table as a SQL string (the
+    single-call twin of :func:`lsh_bucket`)."""
+    terms = [
+        f"(CASE WHEN {_dot_sql(_sign_row_sql(row), vec_sql)} > 0 "
+        f"THEN {1 << p}L ELSE 0L END)"
+        for p, row in enumerate(signs)
+    ]
+    return " + ".join(terms)
+
+
+def _bucket_array(vec_sql: str, planes: int, dim: int, n_tables: int) -> Column:
+    """Array of per-table sign-LSH bucket ids, built as ONE parsed
+    expression (build cost: one py4j call regardless of tables×planes)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            _bucket_sql(vec_sql, plane_signs(planes, dim, table=t))
+            for t in range(n_tables)
+        )
+        + ")"
+    )
+
+
 def _centroid_dots(vec: Column, signs: list[list[int]]) -> Column:
     """Array of dot(centroid_i, v) for the deterministic ±1 centroids.
     All centroids share norm sqrt(dim), so argmax dot == argmax cosine."""
-    return F.array(
-        *[dot(F.array(*[F.lit(float(s)) for s in row]), vec) for row in signs]
-    )
+    return F.array(*[dot(_sign_row(row), vec) for row in signs])
 
 
 def ivf_cells(vec: Column, signs: list[list[int]], nprobe: int) -> list[Column]:
@@ -235,20 +304,64 @@ def ann_topk_ivf(
     scanned once to build (cell, vector) and the probe join is an
     equi-join on cell — candidates ∝ corpus/n_cells·nprobe per query,
     never all-pairs.  Recall < 1 by construction; audit against
-    ann_bruteforce_topk."""
+    ann_bruteforce_topk (plans/recall.py).
+
+    The nprobe walk BINDS each masked-dots intermediate as a real
+    column (``withColumn``) instead of nesting the ``ivf_cells``
+    expressions: the inline form duplicates the whole centroid-dots
+    tree ~3× per probe level (array_position + array_max + the next
+    mask each re-reference it), and Catalyst analysis of that ~3^nprobe
+    blow-up measured 6-7 s PER QUERY at nprobe=4.  CollapseProject
+    keeps non-cheap bound columns un-inlined, so the plan stays
+    linear in nprobe."""
     signs = plane_signs(n_cells, dim)
-    c = corpus.select(
+    dots = F.expr(
+        "array("
+        + ",".join(
+            _dot_sql(_sign_row_sql(row), f"`{vec_col}`") for row in signs
+        )
+        + ")"
+    )
+    c0 = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col), dim).alias("cn"),
-        ivf_cells(F.col(vec_col), signs, 1)[0].alias("cell"),
+        dots.alias("__m0"),
     )
-    qcells = ivf_cells(F.col(vec_col), signs, nprobe)
-    q = queries.select(
+    c = c0.select(
+        "neighbor_id", "cv", "cn",
+        F.array_position(F.col("__m0"), F.array_max(F.col("__m0"))).alias("cell"),
+    )
+    q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col), dim).alias("qn"),
-        F.explode(F.array(*qcells)).alias("cell"),
+        dots.alias("__m0"),
+    )
+    cell_cols: list[str] = []
+    m_prev = "__m0"
+    for j in range(1, nprobe + 1):
+        cell = f"__cell{j}"
+        q0 = q0.withColumn(
+            cell,
+            F.array_position(F.col(m_prev), F.array_max(F.col(m_prev))),
+        )
+        cell_cols.append(cell)
+        if j < nprobe:
+
+            def _mask(cell_name: str):
+                return lambda x, i: F.when(
+                    i + 1 == F.col(cell_name), F.lit(float("-inf"))
+                ).otherwise(x)
+
+            m_next = f"__m{j}"
+            q0 = q0.withColumn(
+                m_next, F.transform(F.col(m_prev), _mask(cell))
+            )
+            m_prev = m_next
+    q = q0.select(
+        "query_id", "qv", "qn",
+        F.explode(F.array(*[F.col(cc) for cc in cell_cols])).alias("cell"),
     )
     joined = (
         c.join(F.broadcast(q), "cell")
@@ -268,8 +381,7 @@ def lsh_bucket(vec: Column, signs: list[list[int]]) -> Column:
     """Sign-LSH bucket id: bit p set iff dot(plane_p, v) > 0."""
     bucket = None
     for p, row in enumerate(signs):
-        srow = F.array(*[F.lit(float(s)) for s in row])
-        bit = F.when(dot(srow, vec) > 0, F.lit(1 << p).cast("long")).otherwise(
+        bit = F.when(dot(_sign_row(row), vec) > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bit if bucket is None else bucket + bit
@@ -285,27 +397,36 @@ def ann_lsh_topk(
     k: int = 5,
     planes: int = DEFAULT_PLANES,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket.  Equi-join on the bucket id replaces the cross join — the
-    scale path (recall < 1 by construction; audit vs brute force)."""
+    scale path (recall < 1 by construction; audit vs brute force).
+
+    ``n_tables`` > 1: multi-table LSH (see ``cosine_pairs_banded``) —
+    candidates are the union of per-table bucket collisions, deduped
+    per (query, neighbor) before ranking.  The recall lever for
+    weakly-clustered corpora, where a single table's bucket rarely
+    captures enough of the true top-k (measured 0.0 -> ~0.7 recall@5
+    on the sf0.01 corpus at planes=4, tables=8; plans/recall.py)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    signs = plane_signs(planes, dim)
+
+    buckets = _bucket_array(f"`{vec_col}`", planes, dim, n_tables)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col), dim).alias("qn"),
-        lsh_bucket(F.col(vec_col), signs).alias("bucket"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col), dim).alias("cn"),
-        lsh_bucket(F.col(vec_col), signs).alias("bucket"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
     )
     joined = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -315,4 +436,6 @@ def ann_lsh_topk(
             ),
         )
     )
+    if n_tables > 1:
+        joined = joined.distinct()  # multi-table collisions count once
     return _topk(joined, k)

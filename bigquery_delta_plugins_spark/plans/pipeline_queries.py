@@ -32,12 +32,22 @@ SIMHASH_MAX_HAMMING = 2
 COSINE_THRESHOLD = 0.4
 # Sign-LSH bands for the near-dup pair query: 2^4 = 16 buckets — the
 # O(n^2) cartesian becomes a bucket equi-join (exact within a bucket).
+# Recall tuning (round 3, measured by plans/recall.py on sf0.01): one
+# table at 4 planes gives pair recall 0.20 for cosine≈0.4 pairs
+# (collision prob q≈0.63 per plane -> q^4≈0.16, matching theory);
+# 8 independent tables lift it to 1-(1-q^4)^8 ≈ 0.75.  Same lever for
+# the ANN query (its true top-5 neighbors sit near cosine 0.3, q≈0.6 —
+# a single 8-plane table measured recall 0.0).  nprobe=4 of 8 IVF cells
+# (was 2) lifts IVF recall 0.45 -> ≥0.6.  All knobs are mirrored in the
+# generated DuckDB oracles below, so the hash-exact gate still holds.
 NEARDUP_PLANES = 4
+NEARDUP_TABLES = 10
 ANN_K = 5
 ANN_N_QUERIES = 8
-ANN_PLANES = 8
+ANN_PLANES = 4
+ANN_TABLES = 12
 IVF_CELLS = 8
-IVF_NPROBE = 2
+IVF_NPROBE = 4
 EMBED_DIM = 64
 
 
@@ -269,6 +279,7 @@ def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=COSINE_THRESHOLD,
         planes=NEARDUP_PLANES,
         dim=EMBED_DIM,
+        n_tables=NEARDUP_TABLES,
     )
 
 
@@ -308,6 +319,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=ANN_K,
         planes=ANN_PLANES,
         dim=EMBED_DIM,
+        n_tables=ANN_TABLES,
     )
 
 
@@ -759,22 +771,34 @@ def _cos_sql(a: str, b: str, n: str = "len({a})") -> str:
     )
 
 
-def _sql_embed_neardup() -> str:
-    # Mirrors the banded Spark plan: same md5-derived hyperplane signs,
-    # same bucket assignment, exact cosine within a bucket.
-    signs = SIM.plane_signs(NEARDUP_PLANES, EMBED_DIM)
+def _sql_bucket_expr(planes: int, table: int, vec: str) -> str:
+    """Sign-LSH bucket id of ``vec`` for one hash table — the SQL twin
+    of operators/similarity.py::lsh_bucket over plane_signs(table=t)."""
     terms = []
-    for p, row in enumerate(signs):
+    for p, row in enumerate(SIM.plane_signs(planes, EMBED_DIM, table=table)):
         arr = "[" + ", ".join(f"{float(s)}" for s in row) + "]"
-        d = _DOT.format(a=arr, b="embedding", n=str(EMBED_DIM))
+        d = _DOT.format(a=arr, b=vec, n=str(EMBED_DIM))
         terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _sql_embed_neardup() -> str:
+    # Mirrors the multi-table banded Spark plan: same md5-derived
+    # hyperplane signs per table, candidates = union of per-table bucket
+    # collisions (DISTINCT pair+cosine), exact cosine within a bucket.
+    tables = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"{_sql_bucket_expr(NEARDUP_PLANES, t, 'embedding')} AS bucket "
+        "FROM embeddings"
+        for t in range(NEARDUP_TABLES)
+    )
     cos = _cos_sql("a.embedding", "b.embedding")
     return f"""WITH v AS (
-  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+  {tables}),
 p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
-  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+  FROM v a JOIN v b ON a.tbl = b.tbl AND a.bucket = b.bucket
+    AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}"""
 
 
@@ -791,24 +815,30 @@ SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {ANN_K}"""
 
 
 def _sql_ann_lsh() -> str:
-    signs = SIM.plane_signs(ANN_PLANES, EMBED_DIM)
-    terms = []
-    for p, row in enumerate(signs):
-        arr = "[" + ", ".join(f"{float(s)}" for s in row) + "]"
-        d = _DOT.format(a=arr, b="{v}", n=str(EMBED_DIM))
-        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(terms)
+    # Multi-table sign-LSH: per-table (tbl, bucket) union on both sides,
+    # DISTINCT candidate (pair, cosine) rows, then exact-cosine ranking —
+    # the SQL twin of similarity.py::ann_lsh_topk(n_tables=ANN_TABLES).
+    q_tables = "\n  UNION ALL ".join(
+        f"SELECT vec_id AS query_id, embedding AS qv, {t} AS tbl, "
+        f"{_sql_bucket_expr(ANN_PLANES, t, 'embedding')} AS bucket "
+        f"FROM embeddings WHERE vec_id < {ANN_N_QUERIES}"
+        for t in range(ANN_TABLES)
+    )
+    c_tables = "\n  UNION ALL ".join(
+        f"SELECT vec_id AS neighbor_id, embedding AS cv, {t} AS tbl, "
+        f"{_sql_bucket_expr(ANN_PLANES, t, 'embedding')} AS bucket "
+        "FROM embeddings"
+        for t in range(ANN_TABLES)
+    )
     cos = _cos_sql("q.qv", "c.cv", n=str(EMBED_DIM))
-    bq = bucket.format(v="embedding")
     return f"""WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv, {bq} AS bucket
-  FROM embeddings WHERE vec_id < {ANN_N_QUERIES}),
+  {q_tables}),
 c AS (
-  SELECT vec_id AS neighbor_id, embedding AS cv, {bq} AS bucket
-  FROM embeddings),
+  {c_tables}),
 p AS (
-  SELECT q.query_id, c.neighbor_id, {cos} AS cosine
-  FROM c JOIN q USING (bucket) WHERE q.query_id <> c.neighbor_id),
+  SELECT DISTINCT q.query_id, c.neighbor_id, {cos} AS cosine
+  FROM c JOIN q ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.query_id <> c.neighbor_id),
 r AS (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM p)
@@ -816,37 +846,58 @@ SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {ANN_K}"""
 
 
 def _sql_ann_ivf() -> str:
+    # Generic-nprobe twin of similarity.py::ivf_cells: iterative masked
+    # argmax — m_{i} masks cell_{i} out of m_{i-1}, cell_{i+1} is the
+    # first-max position of m_{i} (identical tie-break and '-infinity'
+    # sentinel as the Spark fold, IEEE-exact).
     signs = SIM.plane_signs(IVF_CELLS, EMBED_DIM)
     dots = []
     for row in signs:
         arr = "[" + ", ".join(f"{float(s)}" for s in row) + "]"
         dots.append(_DOT.format(a=arr, b="embedding", n=str(EMBED_DIM)))
     dots_list = "[" + ", ".join(dots) + "]"
-    cos = _cos_sql("probes.qv", "c.cv", n=str(EMBED_DIM))
-    return f"""WITH v AS (
-  SELECT vec_id, embedding, {dots_list} AS dots FROM embeddings),
-a AS (
+    ctes = [
+        f"""v AS (
+  SELECT vec_id, embedding, {dots_list} AS dots FROM embeddings)""",
+        """a AS (
   SELECT vec_id, embedding, dots,
          list_position(dots, list_aggregate(dots, 'max')) AS cell1
-  FROM v),
-q AS (
-  SELECT vec_id AS query_id, embedding AS qv, cell1,
-         list_position(l2, list_aggregate(l2, 'max')) AS cell2
+  FROM v)""",
+        f"""q1 AS (
+  SELECT vec_id AS query_id, embedding AS qv, dots AS m0, cell1
+  FROM a WHERE vec_id < {ANN_N_QUERIES})""",
+    ]
+    for i in range(2, IVF_NPROBE + 1):
+        ctes.append(
+            f"""q{i} AS (
+  SELECT *, list_position(m{i - 1}, list_aggregate(m{i - 1}, 'max')) AS cell{i}
   FROM (SELECT *, list_transform(range(1, {IVF_CELLS} + 1),
-          i -> CASE WHEN i = cell1 THEN '-infinity'::DOUBLE ELSE dots[i] END) AS l2
-        FROM a)
-  WHERE vec_id < {ANN_N_QUERIES}),
-probes AS (
-  SELECT query_id, qv, cell1 AS cell FROM q
-  UNION ALL SELECT query_id, qv, cell2 FROM q),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell1 AS cell FROM a),
-p AS (
+          i -> CASE WHEN i = cell{i - 1} THEN '-infinity'::DOUBLE
+               ELSE m{i - 2}[i] END) AS m{i - 1}
+        FROM q{i - 1}))"""
+        )
+    last = f"q{IVF_NPROBE}" if IVF_NPROBE > 1 else "q1"
+    probes = "\n  UNION ALL ".join(
+        f"SELECT query_id, qv, cell{i} AS cell FROM {last}"
+        for i in range(1, IVF_NPROBE + 1)
+    )
+    cos = _cos_sql("probes.qv", "c.cv", n=str(EMBED_DIM))
+    ctes.append(f"""probes AS (
+  {probes})""")
+    ctes.append(
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell1 AS cell FROM a)"
+    )
+    ctes.append(f"""p AS (
   SELECT probes.query_id, c.neighbor_id, {cos} AS cosine
-  FROM c JOIN probes USING (cell) WHERE probes.query_id <> c.neighbor_id),
-r AS (SELECT *, row_number() OVER (
+  FROM c JOIN probes USING (cell) WHERE probes.query_id <> c.neighbor_id)""")
+    ctes.append("""r AS (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-      FROM p)
-SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {ANN_K}"""
+      FROM p)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {ANN_K}"
+    )
 
 
 def _sql_sessionize() -> str:

@@ -64,9 +64,12 @@ class EventConsumer:
         broadcast_merge_max_bytes: int = 512 * 1024 * 1024,
         single_job_per_batch: bool = False,
         single_job_merge_strategy: str = "shuffle",
+        assume_unique_keys: bool = False,
         broadcast_flatten_winners: bool = True,
         ddl_retry_attempts: int = 3,
         ddl_retry_base_delay: float = 0.05,
+        dml_retry_attempts: int = 3,
+        dml_retry_base_delay: float = 0.05,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -102,6 +105,17 @@ class EventConsumer:
         # back to the full-outer shuffle merge.
         self.ddl_retry_attempts = ddl_retry_attempts
         self.ddl_retry_base_delay = ddl_retry_base_delay
+        # DML apply/commit retry envelope (the reference wraps load/merge
+        # jobs in Failsafe with previous-attempt reuse,
+        # BigQueryEventConsumer.java:1639-1642,1393-1422).  Spark's task
+        # retries cover executor faults; this guards the DRIVER-side
+        # write+commit sequence (a manifest I/O hiccup must not kill the
+        # stream when an in-process retry converges).  Retried units are
+        # idempotent: a re-run write job orphans the failed attempt's
+        # data files (vacuum reclaims them) and the snapshot batch-id
+        # check makes an already-committed attempt a no-op.
+        self.dml_retry_attempts = dml_retry_attempts
+        self.dml_retry_base_delay = dml_retry_base_delay
         self.broadcast_merge_max_rows = broadcast_merge_max_rows
         self.broadcast_merge_max_bytes = broadcast_merge_max_bytes
         # Single-job apply: skip the per-batch stats job entirely — read
@@ -117,6 +131,14 @@ class EventConsumer:
         if single_job_merge_strategy not in ("shuffle", "broadcast"):
             raise ValueError(single_job_merge_strategy)
         self.single_job_merge_strategy = single_job_merge_strategy
+        # Declared source PK contract (operators/merge.py
+        # unique_key_target): at most one live target row per key — true
+        # for any real binlog.  Enables the single-target-scan broadcast
+        # merge (the throughput mode's biggest per-batch saving); leave
+        # False for sources that may replay bare INSERTs of existing
+        # keys, where the reference MERGE's duplicate-row totality must
+        # be reproduced exactly.
+        self.assume_unique_keys = assume_unique_keys
         # Pass False when micro-batches can carry tens of millions of
         # DISTINCT keys: the flatten winner set (one long per surviving
         # key) then threatens the broadcast budget, and the semi-join
@@ -270,6 +292,15 @@ class EventConsumer:
                 event.database, event.table,
             )
 
+    def _dml_retry(self, fn):
+        """Run one idempotent write/commit unit under the DML retry
+        envelope (see the constructor comment)."""
+        return run_with_retry(
+            fn,
+            max_attempts=self.dml_retry_attempts,
+            base_delay=self.dml_retry_base_delay,
+        )
+
     def _norm_field(self, name: str) -> str:
         from ..normalize import normalize_field_name
 
@@ -364,9 +395,11 @@ class EventConsumer:
                 rows = staged
                 if self.row_transform is not None:
                     rows = self.row_transform(rows)
-                snap = table.append(
-                    self._staged_to_target_rows(rows, table), batch_id,
-                    max_seq=agg["max_seq"],
+                target_rows = self._staged_to_target_rows(rows, table)
+                snap = self._dml_retry(
+                    lambda: table.append(
+                        target_rows, batch_id, max_seq=agg["max_seq"]
+                    )
                 )
                 return self._record(
                     table, batch_id, t0, snap=snap, n_events=agg["n"],
@@ -420,8 +453,11 @@ class EventConsumer:
                     snap_rows = self.row_transform(snap_rows)
                 snap_rows = self._staged_to_target_rows(snap_rows, table)
                 if n_diff == 0:
-                    snap = table.append(
-                        snap_rows, batch_id, max_seq=max_seq, advance_batch=True
+                    snap = self._dml_retry(
+                        lambda: table.append(
+                            snap_rows, batch_id, max_seq=max_seq,
+                            advance_batch=True,
+                        )
                     )
                     _mark("snapshot_load", tp)
                     return self._record(
@@ -429,14 +465,18 @@ class EventConsumer:
                         seq_range=seq_range, fast_path=fast_path, phases=phases,
                         n_snapshot=n_snap_live,
                     )
-                table.append(
-                    snap_rows, batch_id, max_seq=srow["snap_max_seq"],
-                    advance_batch=False,
+                self._dml_retry(
+                    lambda: table.append(
+                        snap_rows, batch_id, max_seq=srow["snap_max_seq"],
+                        advance_batch=False,
+                    )
                 )
                 tp = _mark("snapshot_load", tp)
 
             if n_diff == 0:
-                snap = table.commit_noop(batch_id, max_seq=max_seq)
+                snap = self._dml_retry(
+                    lambda: table.commit_noop(batch_id, max_seq=max_seq)
+                )
                 return self._record(
                     table, batch_id, t0, snap=snap, n_events=n_events,
                     seq_range=seq_range, phases=phases, n_diff=0,
@@ -465,8 +505,11 @@ class EventConsumer:
                 soft_deletes=self.soft_deletes,
                 sort_key_count=len(src.sort_key_types),
                 strategy=strategy,
+                unique_key_target=self.assume_unique_keys,
             )
-            snap = table.overwrite_buckets(new_rows, touched, batch_id, max_seq)
+            snap = self._dml_retry(
+                lambda: table.overwrite_buckets(new_rows, touched, batch_id, max_seq)
+            )
             _mark("merge_write", tp)
             return self._record(
                 table, batch_id, t0, snap=snap, n_events=n_events,
@@ -519,28 +562,35 @@ class EventConsumer:
                 soft_deletes=self.soft_deletes,
                 sort_key_count=len(src.sort_key_types),
                 strategy=self.single_job_merge_strategy,
+                unique_key_target=self.assume_unique_keys,
             )
-            new_files = table._write_data_files(
-                new_rows, table.schema, repartition=table.WRITE_REPARTITION
-            )
-            max_seq = parquet_files_max_long(
-                [os.path.join(table.path, f["path"]) for f in new_files],
-                C.SEQUENCE_NUM,
-            )
-            if max_seq is None:
-                # footer stats unavailable — one fallback job
-                row = self.spark.read.parquet(
-                    *[os.path.join(table.path, f["path"]) for f in new_files]
-                ).agg(F.max(C.SEQUENCE_NUM)).first() if new_files else None
-                max_seq = (row[0] if row else None) or last_merged
-            # observed diff max — covers trailing hard-DELETE winners the
-            # footers can't see (metrics materialized by the write job)
-            obs_max = obs.get.get("max_seq")
-            if obs_max is not None:
-                max_seq = max(max_seq or 0, obs_max)
-            snap = table.commit_overwrite(
-                new_files, set(range(nb)), batch_id, max_seq
-            )
+            def write_and_commit():
+                new_files = table._write_data_files(
+                    new_rows, table.schema, repartition=table.WRITE_REPARTITION
+                )
+                max_seq = parquet_files_max_long(
+                    [os.path.join(table.path, f["path"]) for f in new_files],
+                    C.SEQUENCE_NUM,
+                )
+                if max_seq is None:
+                    # footer stats unavailable — one fallback job
+                    row = self.spark.read.parquet(
+                        *[os.path.join(table.path, f["path"]) for f in new_files]
+                    ).agg(F.max(C.SEQUENCE_NUM)).first() if new_files else None
+                    max_seq = (row[0] if row else None) or last_merged
+                # observed diff max — covers trailing hard-DELETE winners
+                # the footers can't see (materialized by the write job)
+                obs_max = obs.get.get("max_seq")
+                if obs_max is not None:
+                    max_seq = max(max_seq or 0, obs_max)
+                return table.commit_overwrite(
+                    new_files, set(range(nb)), batch_id, max_seq
+                )
+
+            # one retried unit: a transient fault anywhere in write /
+            # footer read / manifest commit re-runs the idempotent job
+            # (failed attempt's files become vacuum-reclaimable orphans)
+            snap = self._dml_retry(write_and_commit)
             self._mark_phase(phases, "merge_write", tp)
             return self._record(
                 table, batch_id, t0, snap=snap, phases=phases,

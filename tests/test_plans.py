@@ -69,6 +69,53 @@ def test_broadcast_merge_has_no_target_exchange(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def _target_parquet(spark, tmp_path, soft_rows=False):
+    import os
+
+    p = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [("u1", None, None, "t", "en", 1, True if soft_rows else None, None, None)],
+        schemas.target_schema(PAGES),
+    ).write.mode("overwrite").parquet(p)
+    return spark.read.schema(schemas.target_schema(PAGES)).parquet(p), os.path.basename(p)
+
+
+def test_broadcast_merge_ordered_hard_single_target_scan(spark, tmp_path):
+    """The round-3 contract: in the default mode (ordered + hard
+    deletes) the broadcast merge scans the target relation EXACTLY ONCE
+    — one broadcast LeftAnti join, no second key pass (the dominant
+    batch cost at 10^10-row scale is the touched-bucket scan)."""
+    import re
+
+    target, _ = _target_parquet(spark, tmp_path)
+    diff = spark.createDataFrame([], schemas.staging_schema(PAGES)).drop(C.BATCH_ID)
+    plan = plan_of(
+        merge_apply(target, diff, ["url"], strategy="broadcast",
+                    unique_key_target=True)
+    )
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_broadcast_merge_soft_second_scan_is_key_only(spark, tmp_path):
+    """Soft-delete (and unordered) modes need target state for the
+    matched-arm guards, so a second pass exists — but it must read ONLY
+    the key columns (column pruning to the parquet scan), a few % of
+    bytes on a payload-heavy table."""
+    import re
+
+    target, _ = _target_parquet(spark, tmp_path, soft_rows=True)
+    diff = spark.createDataFrame([], schemas.staging_schema(PAGES)).drop(C.BATCH_ID)
+    plan = plan_of(
+        merge_apply(target, diff, ["url"], strategy="broadcast", soft_deletes=True)
+    )
+    schemas_read = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    assert len(schemas_read) == 2, plan
+    assert any(s == "struct<url:string>" for s in schemas_read), schemas_read
+
+
 def test_banded_cosine_has_no_nested_loop_join(spark):
     """embed_cosine_neardup's scale contract: the pair search is an
     equi-join on the LSH bucket, never a BroadcastNestedLoopJoin
@@ -79,7 +126,10 @@ def test_banded_cosine_has_no_nested_loop_join(spark):
         [(i, [float(i % 3), 1.0, 0.5, -1.0]) for i in range(20)],
         "vec_id long, embedding array<double>",
     )
-    plan = plan_of(cosine_pairs_banded(df, "vec_id", "embedding", planes=2, dim=4))
+    # eager_release=False keeps the lazy plan inspectable (production
+    # callers get the same plan, then an eager checkpoint of the result)
+    plan = plan_of(cosine_pairs_banded(df, "vec_id", "embedding", planes=2, dim=4,
+                                       eager_release=False))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 

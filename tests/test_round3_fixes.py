@@ -303,6 +303,168 @@ def test_multi_table_changes_dir_feed(spark, tmp_path):
     assert fb == {2: "delete", 7: "insert"}
 
 
+def test_dedup_similarity_eager_release_frees_indexes(spark):
+    """Persist hygiene: the pair operators' cached shingle/signature/
+    projection indexes are unpersisted as soon as the (small) result is
+    checkpointed — a long session running the dedup/ANN queries
+    repeatedly keeps flat index storage instead of accreting caches."""
+    from pyspark.sql import functions as F
+
+    from bigquery_delta_plugins_spark.operators import dedup as DD
+    from bigquery_delta_plugins_spark.operators.similarity import (
+        cosine_pairs_banded,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox " * 3 + f"tail {i % 4}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def persisted_rdds():
+        sc = spark.sparkContext
+        return [
+            i for i in sc._jsc.sc().getRDDStorageInfo()
+            if i.memSize() + i.diskSize() > 0
+        ]
+
+    for _ in range(3):
+        DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_df=64).collect()
+        DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        DD.simhash_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        cosine_pairs_banded(vecs, "vec_id", "embedding", planes=2, dim=8).collect()
+    # every persisted INDEX was released at query end; only not-yet-GC'd
+    # checkpointed pair results (tiny) may linger.  Without the release,
+    # 12 queries leave ~15+ index RDDs cached forever.
+    remaining = persisted_rdds()
+    assert len(remaining) <= 4, [
+        (i.name(), i.memSize()) for i in remaining
+    ]
+    # and the results themselves are still correct relations
+    n = DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.9).count()
+    assert n > 0
+
+
+def test_approximate_paths_recall_floor(spark):
+    """VERDICT #6: the approximate similarity paths claim 'audit vs
+    brute force' — this pins the audit as numbers.  Multi-table sign-LSH
+    (planes=4, tables=12) and nprobe=4 IVF must keep recall@5 ≥ 0.6 on
+    the sf0.01 corpus, and the banded cosine pair search ≥ 0.6 pair
+    recall vs the exact all-pairs baseline (round-3 measured values:
+    0.75 / 0.65 / 0.78; a single 8-plane table measured 0.0)."""
+    from bigquery_delta_plugins_spark.plans.recall import recall_report
+
+    rep = recall_report(spark, "/root/testdata/sf0.01")
+    assert rep["ann_lsh_recall_at_k"] >= 0.6, rep
+    assert rep["ann_ivf_recall_at_k"] >= 0.6, rep
+    assert rep["cosine_banded_pair_recall"] >= 0.6, rep
+
+
+def test_unique_key_fast_path_matches_exact_merge(spark, tmp_path):
+    """The single-target-scan broadcast merge (declared unique-key
+    source contract) produces BYTE-IDENTICAL final state to the exact
+    two-pass plan on a valid binlog — inserts, hot-key update runs,
+    deletes with re-inserts, and PK moves included."""
+    from pyspark.sql import types as TT
+
+    from bigquery_delta_plugins_spark.sources.gen import synth_events
+    from bigquery_delta_plugins_spark.streaming.driver import run_microbatch_loop
+
+    pages = TT.StructType(
+        [
+            TT.StructField("url", TT.StringType(), False),
+            TT.StructField("warc_ts", TT.TimestampType(), True),
+            TT.StructField("html", TT.BinaryType(), True),
+            TT.StructField("text", TT.StringType(), True),
+            TT.StructField("lang", TT.StringType(), True),
+        ]
+    )
+    ev = synth_events(spark, 3000, 150, batch_size=1000, delete_frac=0.12,
+                      pk_move_frac=0.05).cache()
+    batches = [(b, ev.filter(ev[C.BATCH_ID] == b)) for b in range(3)]
+
+    states = {}
+    for mode, kw in (
+        ("exact", {}),
+        ("fast", {"assume_unique_keys": True}),
+        ("fast_single_job", {"assume_unique_keys": True,
+                             "single_job_per_batch": True,
+                             "single_job_merge_strategy": "broadcast"}),
+    ):
+        c = EventConsumer(
+            spark, str(tmp_path / mode / "wh"), num_buckets=4, salt_buckets=2,
+            # force the broadcast strategy on the standard path too
+            broadcast_merge_max_rows=10_000_000,
+            broadcast_merge_max_bytes=1 << 40, **kw,
+        )
+        c.apply_ddl(
+            DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=pages,
+                     primary_keys=["url"])
+        )
+        run_microbatch_loop(c, batches, "web", "pages",
+                            str(tmp_path / mode / "cp"))
+        states[mode] = sorted(
+            map(str, c.table("web", "pages").read().collect())
+        )
+    ev.unpersist()
+    assert states["exact"] == states["fast"] == states["fast_single_job"]
+    assert len(states["exact"]) > 100
+
+
+def test_transient_manifest_fault_retried_in_process(spark, tmp_path, monkeypatch):
+    """VERDICT #5: a transient driver-side fault during the DML commit
+    (manifest I/O hiccup) recovers IN-PROCESS under the retry envelope —
+    the stream survives, state is exactly-once, no duplicate rows."""
+    from bigquery_delta_plugins_spark.lake.table import LakeTable
+    from bigquery_delta_plugins_spark.retry import PermanentFailure
+
+    c = _consumer(spark, tmp_path, dml_retry_base_delay=0.01)
+    _create(c)
+    c.apply_batch("db", "t", _ins(spark, [("INSERT", 1, 1, 1.0, None)]), 0)
+
+    orig = LakeTable._write_snapshot
+    fails = {"n": 2}  # fail twice, succeed on the 3rd attempt
+
+    def flaky(self, *a, **kw):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise OSError("simulated transient manifest I/O fault")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "_write_snapshot", flaky)
+    m = c.apply_batch("db", "t", _ins(spark, [
+        ("UPDATE", 2, 1, 10.0, 1), ("INSERT", 3, 5, 5.0, None),
+    ]), 1)
+    assert not m["skipped"] and fails["n"] == 0
+    monkeypatch.setattr(LakeTable, "_write_snapshot", orig)
+    got = {r["user_id"]: r["value"] for r in c.table("db", "t").read().collect()}
+    assert got == {1: 10.0, 5: 5.0}
+    assert c.table("db", "t").latest_batch_id() == 1
+
+    # single-job mode: fault inside the fused write/footer/commit unit
+    c2 = _consumer(spark, tmp_path / "sj", single_job_per_batch=True,
+                   dml_retry_base_delay=0.01)
+    _create(c2)
+    c2.apply_batch("db", "t", _ins(spark, [("INSERT", 1, 1, 1.0, None)]), 0)
+    fails["n"] = 1
+    monkeypatch.setattr(LakeTable, "_write_snapshot", flaky)
+    c2.apply_batch("db", "t", _ins(spark, [("UPDATE", 2, 1, 20.0, 1)]), 1)
+    monkeypatch.setattr(LakeTable, "_write_snapshot", orig)
+    got2 = {r["user_id"]: r["value"] for r in c2.table("db", "t").read().collect()}
+    assert got2 == {1: 20.0}
+
+    # PermanentFailure still aborts on the FIRST attempt
+    def permanent(self, *a, **kw):
+        raise PermanentFailure("schema conflict")
+
+    monkeypatch.setattr(LakeTable, "_write_snapshot", permanent)
+    with pytest.raises(PermanentFailure):
+        c.apply_batch("db", "t", _ins(spark, [("INSERT", 4, 9, 9.0, None)]), 2)
+
+
 def test_auto_compact_keeps_file_counts_bounded(spark, tmp_path, monkeypatch):
     """Driver-loop auto-compaction: many small batches leave at most
     ``threshold`` files per bucket, state bookkeeping untouched, and the

@@ -136,6 +136,9 @@ def run_level(cpus: int, events_dir: str) -> None:
         single_job_merge_strategy=os.environ.get(
             "SPARK_GRAFT_MERGE_STRATEGY", "broadcast"
         ),
+        # synth_events is a valid binlog -> the unique-key source
+        # contract holds -> single-target-scan broadcast merge
+        assume_unique_keys=os.environ.get("SPARK_GRAFT_UNIQUE_KEYS", "1") != "0",
     )
     consumer.apply_ddl(
         DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=pages, primary_keys=["url"])
