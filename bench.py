@@ -23,7 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "200000"))
+# Default sized so the CDC number is the STEADY-STATE one: per-batch wall
+# has a ~6-14s serial floor (driver actions + commit), so small batches
+# report fixed overhead, not throughput (round 2's 12.7k ev/s artifact vs
+# the 495k ev/s the 8M-batch scaling harness measures — VERDICT r2 #4).
+# 16M events = 1 warmup + 3 steady 4M-event batches; the headline rate is
+# the median steady batch, the same statistic BENCH/BASELINE.md reports.
+CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "16000000"))
+CDC_BATCH = int(os.environ.get("SPARK_GRAFT_CDC_BATCH", "4000000"))
 
 
 def build_session(cpus: int):
@@ -79,9 +86,16 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def run_cdc_apply(spark, n_events: int, batch_size: int = 50000) -> dict:
+def run_cdc_apply(
+    spark, n_events: int, batch_size: int | None = None, warmup_batches: int = 1
+) -> dict:
     """Flagship: end-to-end CDC apply throughput (events/sec) — generator
-    -> staged batches -> flatten -> merge -> atomic snapshot commits."""
+    -> staged batches -> flatten -> merge -> atomic snapshot commits.
+
+    ``events_per_sec`` is the MEDIAN STEADY BATCH rate (first
+    ``warmup_batches`` excluded — they pay JIT/codegen/Arrow spin-up a
+    long-lived replicator amortizes to zero); the overall rate including
+    warmup is reported alongside."""
     from pyspark.sql import types as T
 
     from bigquery_delta_plugins_spark import constants as C
@@ -112,27 +126,39 @@ def run_cdc_apply(spark, n_events: int, batch_size: int = 50000) -> dict:
     consumer.apply_ddl(
         DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=pages, primary_keys=["url"])
     )
+    if batch_size is None:
+        batch_size = min(CDC_BATCH, n_events)
     n_keys = max(1000, n_events // 20)
     ev = synth_events(
         spark, n_events, n_keys, batch_size=batch_size, pk_move_frac=0.02
     ).persist()
     ev.count()  # materialize the generator outside the timed region
-    batches = [
-        (b, ev.filter(ev[C.BATCH_ID] == b))
-        for b in range((n_events + batch_size - 1) // batch_size)
-    ]
+    n_batches = (n_events + batch_size - 1) // batch_size
+    batches = [(b, ev.filter(ev[C.BATCH_ID] == b)) for b in range(n_batches)]
     t0 = time.monotonic()
-    run_microbatch_loop(consumer, batches, "web", "pages", os.path.join(root, "cp"))
+    metrics = run_microbatch_loop(
+        consumer, batches, "web", "pages", os.path.join(root, "cp")
+    )
     wall = time.monotonic() - t0
     ev.unpersist()
     final_rows = consumer.table("web", "pages").read().count()
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
+    per_batch = [m["wall_sec"] for m in metrics if not m.get("skipped")]
+    steady = per_batch[warmup_batches:] if len(per_batch) > warmup_batches else per_batch
+    steady_rates = sorted(batch_size / w for w in steady)
+    median_rate = steady_rates[len(steady_rates) // 2]
     return {
         "n_events": n_events,
+        "batch_size": batch_size,
         "wall_sec": round(wall, 3),
-        "events_per_sec": round(n_events / wall, 1),
+        # headline: median steady batch (the statistic the scaling
+        # harness and BENCH/BASELINE.md report)
+        "events_per_sec": round(median_rate, 1),
+        "overall_events_per_sec": round(n_events / wall, 1),
+        "per_batch_sec": [round(w, 3) for w in per_batch],
+        "warmup_batches": warmup_batches,
         "final_rows": final_rows,
         "cpus": CPUS,
     }
