@@ -294,6 +294,33 @@ def cdc_replay_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_json_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: JSON staging codec fidelity, checked against an external
+    engine.  Encode the events table to newline-delimited JSON lines
+    (the reference's JSON staging wire format,
+    MultiGCSWriter.java:99-148), decode with the explicit schema, and
+    aggregate — the result equals DuckDB aggregating the ORIGINAL
+    parquet iff every type (int64, double, string, micros timestamp)
+    survives the codec byte-exactly.  Both directions are codegen'd
+    JVM projections; value flows through deterministic integer cents."""
+    from ..sources.json_events import parse_staged_json, staged_json_lines
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rt = parse_staged_json(staged_json_lines(ev), ev.schema)
+    return rt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_value_cents"
+        ),
+        F.sum(F.length("props")).alias("props_len_sum"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count_distinct(F.col("ts")).alias("n_ts"),
+    )
+
+
 def cdc_normalized_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O18: BigQuery-compatible column-name normalization as a zero-cost
     Catalyst projection over a dirty-named intermediate."""

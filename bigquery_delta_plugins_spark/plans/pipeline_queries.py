@@ -508,6 +508,66 @@ def tpch_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped shipping priority: top-10 orders by unshipped revenue
+    for one market segment.  The segment-filtered customer dim
+    broadcasts; the cutoff date pushes into BOTH fact scans (orders
+    before, lineitems after); the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort
+    materialization).  The ORDER BY is a total order — l_orderkey is in
+    the group key — so the LIMIT is deterministic and oracle-exact."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    cutoff = F.lit("1998-06-15").cast("timestamp_ntz")
+    cust = (
+        rd("customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = rd("orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        rd("lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def tpch_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped conditional rollup: per order-priority class, how many
+    lineitems shipped within the window and how many shipped >90 days
+    after their order date.  One fact-fact equi-join with the window
+    pushed into the lineitem scan; the late/on-time split is a
+    SUM(CASE) partial aggregate — one shuffle of 5 tiny groups, no
+    second pass."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    li = (
+        rd("lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", "l_shipdate")
+    )
+    orders = rd("orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(F.when(late, F.lit(1)).otherwise(F.lit(0))).alias("n_late"),
+        )
+    )
+
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -983,6 +1043,32 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2"""
 
 
+def _sql_tpch_q3() -> str:
+    return """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+WHERE o.o_orderdate < TIMESTAMP '1998-06-15'
+  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, l.l_orderkey ASC
+LIMIT 10"""
+
+
+def _sql_tpch_q12() -> str:
+    return """SELECT o.o_orderpriority,
+  COUNT(*) AS n_lineitems,
+  CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1"""
+
+
 def _sql_retention() -> str:
     return """WITH weeks AS (
   SELECT DISTINCT user_id,
@@ -1085,6 +1171,8 @@ QUERIES = {
     "tpch_pricing_summary": tpch_pricing_summary,
     "tpch_revenue_by_nation": tpch_revenue_by_nation,
     "tpch_profit_by_nation": tpch_profit_by_nation,
+    "tpch_shipping_priority": tpch_shipping_priority,
+    "tpch_late_shipments": tpch_late_shipments,
     "events_topk_users": events_topk_users,
 }
 
@@ -1115,5 +1203,7 @@ def oracles() -> dict[str, str]:
         "tpch_pricing_summary": _sql_tpch_q1(),
         "tpch_revenue_by_nation": _sql_tpch_q5(),
         "tpch_profit_by_nation": _sql_tpch_q9(),
+        "tpch_shipping_priority": _sql_tpch_q3(),
+        "tpch_late_shipments": _sql_tpch_q12(),
         "events_topk_users": _sql_topk_users(),
     }

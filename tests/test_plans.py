@@ -200,3 +200,35 @@ def test_star_join_broadcasts_dims_and_pushes_brand_filter(spark):
               if "PushedFilters" in l and "p_brand" in l]
     assert pushed, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_shipping_priority_topk_and_pushed_dates(spark):
+    """Q3 shape: the cutoff date reaches BOTH fact scans as pushed
+    filters, the segment dim broadcasts, and the deterministic top-10
+    compiles to TakeOrderedAndProject (per-partition heaps), never a
+    global Sort."""
+    from bigquery_delta_plugins_spark.plans.pipeline_queries import (
+        tpch_shipping_priority,
+    )
+
+    plan = plan_of(tpch_shipping_priority(spark, "/root/testdata/sf0.001"))
+    assert any("PushedFilters" in l and "l_shipdate" in l
+               for l in plan.splitlines()), plan
+    assert any("PushedFilters" in l and "o_orderdate" in l
+               for l in plan.splitlines()), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_late_shipments_window_pushed_single_agg(spark):
+    """Q12 shape: the ship-date window is pushed into the lineitem
+    scan and the late/total split is ONE partial aggregate — exactly
+    one shuffle pair (join + final agg), no extra pass for the CASE."""
+    from bigquery_delta_plugins_spark.plans.pipeline_queries import (
+        tpch_late_shipments,
+    )
+
+    plan = plan_of(tpch_late_shipments(spark, "/root/testdata/sf0.001"))
+    assert any("PushedFilters" in l and "l_shipdate" in l
+               for l in plan.splitlines()), plan
+    assert plan.count("HashAggregate") <= 4, plan
