@@ -568,6 +568,41 @@ def tpch_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/url.py) checked per-row against
+    an external engine.  Messy URLs are constructed DETERMINISTICALLY
+    from (doc_id, source) — upper/lower case mixes, default and
+    non-default ports, duplicate/trailing slashes, unsorted query
+    params, fragments — with the identical construction mirrored in the
+    oracle, so the comparison isolates the canonicalizer.  Pure
+    Catalyst projection: at 100 TB this runs inside the scan stage."""
+    from ..functions.url import canonicalize_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    url = F.concat(
+        F.when(m % 3 == 0, F.lit("HTTPS://"))
+        .when(m % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit("https://")),
+        F.lit("WWW."), F.upper("source"), F.lit(".Example.COM"),
+        F.when(m % 4 == 0, F.lit(":443"))
+        .when(m % 4 == 1, F.lit(":80"))
+        .when(m % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Docs//"), s(m),
+        F.when(m % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            m % 2 == 0,
+            F.concat(F.lit("?b="), s(m % 7), F.lit("&a=1&c="), s(m % 3)),
+        ).otherwise(F.lit("")),
+        F.when(m % 6 == 0, F.concat(F.lit("#sec"), s(m))).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), canonicalize_url(url).alias("canon_url")
+    )
+
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -1043,6 +1078,55 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2"""
 
 
+def _sql_url_canonicalize() -> str:
+    # identical messy-URL construction, then the canonicalization rules
+    # transliterated to DuckDB RE2 (backrefs \1, explicit 'g' flag where
+    # Spark's regexp_replace is implicitly global)
+    build = (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' "
+        "WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'https://' END) || "
+        "'WWW.' || upper(source) || '.Example.COM' || "
+        "(CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':80' "
+        "WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END) || "
+        "'/Docs//' || CAST(doc_id AS VARCHAR) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || "
+        "(CASE WHEN doc_id % 2 = 0 THEN '?b=' || CAST(doc_id % 7 AS VARCHAR) "
+        "|| '&a=1&c=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) || "
+        "(CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) "
+        "ELSE '' END)"
+    )
+    return rf"""WITH u AS (SELECT doc_id, {build} AS url FROM documents),
+s AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS no_frag FROM u
+),
+p AS (
+  SELECT doc_id, url,
+    regexp_extract(no_frag, '^([^?]*)', 1) AS base,
+    regexp_extract(no_frag, '\?(.*)$', 1) AS query
+  FROM s
+),
+q AS (
+  SELECT doc_id, url, query,
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)', 1)),
+        '^(https://[^:]*):443$', '\1'),
+      '^(http://[^:]*):80$', '\1') AS authority,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', ''),
+        '/{{2,}}', '/', 'g'),
+      '/+$', '') AS path
+  FROM p
+)
+SELECT doc_id, url,
+  authority || path ||
+  (CASE WHEN query <> '' THEN
+     '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+   ELSE '' END) AS canon_url
+FROM q"""
+
+
 def _sql_tpch_q3() -> str:
     return """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
   CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
@@ -1153,6 +1237,7 @@ QUERIES = {
     "text_pii_redact": text_pii_redact,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "web_url_canonicalize": web_url_canonicalize,
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
     "corpus_split_counts": corpus_split_counts,
@@ -1185,6 +1270,7 @@ def oracles() -> dict[str, str]:
         "text_pii_redact": _sql_pii_redact(),
         "text_lang_id": _sql_lang_id(),
         "text_fingerprint": _sql_fingerprint(),
+        "web_url_canonicalize": _sql_url_canonicalize(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_incremental": _sql_dedup_incremental(),
         "corpus_split_counts": _sql_corpus_split(),
