@@ -568,6 +568,38 @@ def tpch_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule filter: compose the token signals into a
+    keep/drop verdict with the FIRST failing rule as the reason, in a
+    fixed rule order (too_short, too_long, word_len, low_stopword,
+    repetitive) — the filtering stage every corpus pipeline runs before
+    dedup.  All signals are the same JVM expressions the stats queries
+    use; the ratio arithmetic is long/long → double in both engines so
+    the threshold comparisons are bit-identical.  One projection, no
+    shuffle: at 100 TB this is a scan-stage verdict column."""
+    from ..functions import text as TXF
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    n = TXF.token_count(t)
+    awl = TXF.token_len_sum(t) / n
+    sr = TXF.stopword_count(t) / n
+    ttr = TXF.distinct_token_count(t) / n
+    reason = (
+        F.when(n < 25, F.lit("too_short"))
+        .when(n > 90, F.lit("too_long"))
+        .when((awl < 4.0) | (awl > 5.2), F.lit("word_len"))
+        .when(sr < 0.02, F.lit("low_stopword"))
+        .when(ttr < 0.35, F.lit("repetitive"))
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        reason.isNull().alias("keep"),
+        reason.alias("fail_reason"),
+    )
+
+
 def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/url.py) checked per-row against
     an external engine.  Messy URLs are constructed DETERMINISTICALLY
@@ -1078,6 +1110,29 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2"""
 
 
+def _sql_quality_filter() -> str:
+    stop = _in_list(TX.ALL_STOPWORDS)
+    rules = (
+        "CASE WHEN n < 25 THEN 'too_short' "
+        "WHEN n > 90 THEN 'too_long' "
+        "WHEN awl < 4.0 OR awl > 5.2 THEN 'word_len' "
+        "WHEN sr < 0.02 THEN 'low_stopword' "
+        "WHEN ttr < 0.35 THEN 'repetitive' END"
+    )
+    return f"""WITH {_TOKS},
+s AS (
+  SELECT doc_id, len(t) AS n,
+    list_aggregate(list_transform(t, x -> length(x)), 'sum') / len(t) AS awl,
+    len(list_filter(t, x -> x IN ({stop}))) / len(t) AS sr,
+    len(list_distinct(t)) / len(t) AS ttr
+  FROM toks
+)
+SELECT doc_id, n AS n_tokens,
+  ({rules}) IS NULL AS keep,
+  {rules} AS fail_reason
+FROM s"""
+
+
 def _sql_url_canonicalize() -> str:
     # identical messy-URL construction, then the canonicalization rules
     # transliterated to DuckDB RE2 (backrefs \1, explicit 'g' flag where
@@ -1237,6 +1292,7 @@ QUERIES = {
     "text_pii_redact": text_pii_redact,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_quality_filter": text_quality_filter,
     "web_url_canonicalize": web_url_canonicalize,
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
@@ -1270,6 +1326,7 @@ def oracles() -> dict[str, str]:
         "text_pii_redact": _sql_pii_redact(),
         "text_lang_id": _sql_lang_id(),
         "text_fingerprint": _sql_fingerprint(),
+        "text_quality_filter": _sql_quality_filter(),
         "web_url_canonicalize": _sql_url_canonicalize(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_incremental": _sql_dedup_incremental(),
