@@ -127,27 +127,54 @@ def cosine_pairs_banded(
     collision probability q survives one table with q^p but L tables
     with 1-(1-q^p)^L — measured on the sf0.01 corpus this lifts pair
     recall 0.20 (1 table) -> ~0.7 (8 tables); the recall/cost point is
-    audited numerically by plans/recall.py against ``cosine_pairs``."""
-    buckets = _bucket_array(f"`{vec_col}`", planes, dim, n_tables)
-    # persisted: both self-join sides consume it, and the per-row
-    # norm + plane-dot folds are interpreted higher-order functions
-    proj = df.select(
+    audited numerically by plans/recall.py against ``cosine_pairs``.
+
+    Plan shape: candidate *pairs* are deduped FIRST — ``(id_a, id_b)``
+    distinct straight off the (tbl, bucket) equi-join — and only then
+    are vectors/norms joined back for ONE exact-cosine fold per
+    surviving pair (the candidate-restricted pattern ``_pair_jaccard``
+    uses).  Computing the cosine per *collision* and deduping the
+    (id_a, id_b, cosine-double) tuple afterwards runs the interpreted
+    dot fold up to ``n_tables``× per pair — measured 6.7× slower on the
+    sf0.1 corpus at 10 tables."""
+    # persisted: base carries the vector + norm consumed by both sides
+    # of the pair-hydration join; keys (id, tbl, bucket) feeds both
+    # self-join sides.  Both expressions are interpreted higher-order
+    # folds, so recomputation — not the joins — would dominate.
+    base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col), dim).alias("nrm"),
-        F.posexplode(buckets).alias("tbl", "bucket"),
     ).persist()
-    a = proj.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "tbl", "bucket",
-    )
-    b = proj.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "tbl", "bucket",
+    keys = base.select(
+        "id",
+        F.posexplode(_bucket_array("`v`", planes, dim, n_tables)).alias(
+            "tbl", "bucket"
+        ),
+    ).persist()
+    pairs = (
+        keys.select(F.col("id").alias("id_a"), "tbl", "bucket")
+        .join(keys.select(F.col("id").alias("id_b"), "tbl", "bucket"),
+              ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair colliding in several tables counts once
     )
     result = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(
+            base.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
@@ -155,12 +182,11 @@ def cosine_pairs_banded(
                 "cosine"
             ),
         )
-        .distinct()  # a pair colliding in several tables counts once
         .filter(F.col("cosine") >= threshold)
     )
     from .dedup import _finish
 
-    return _finish(result, [proj], eager_release)
+    return _finish(result, [base, keys], eager_release)
 
 
 def _topk(joined: DataFrame, k: int) -> DataFrame:
@@ -408,34 +434,78 @@ def ann_lsh_topk(
     per (query, neighbor) before ranking.  The recall lever for
     weakly-clustered corpora, where a single table's bucket rarely
     captures enough of the true top-k (measured 0.0 -> ~0.7 recall@5
-    on the sf0.01 corpus at planes=4, tables=8; plans/recall.py)."""
+    on the sf0.01 corpus at planes=4, tables=8; plans/recall.py).
+
+    Multi-table plan shape: candidate (query, neighbor) ids are deduped
+    BEFORE the cosine — the per-collision-cosine-then-distinct form
+    runs the interpreted dot fold ``n_tables``× per candidate (see
+    ``cosine_pairs_banded``).  The deduped candidate set (bounded by
+    |queries| × bucket occupancy) is re-hydrated with the query vector
+    and broadcast against the corpus, so the corpus-side cosine + norm
+    are evaluated only on join survivors and the corpus is never
+    shuffled."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
     buckets = _bucket_array(f"`{vec_col}`", planes, dim, n_tables)
-    q = queries.select(
+    if n_tables <= 1:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col), dim).alias("qn"),
+            F.posexplode(buckets).alias("tbl", "bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col), dim).alias("cn"),
+            F.posexplode(buckets).alias("tbl", "bucket"),
+        )
+        joined = (
+            c.join(F.broadcast(q), ["tbl", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (dot(F.col("qv"), F.col("cv"), dim) / F.col("qn") / F.col("cn")).alias(
+                    "cosine"
+                ),
+            )
+        )
+        return _topk(joined, k)
+
+    q_keys = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )
+    c_keys = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )
+    cand = (
+        c_keys.join(F.broadcast(q_keys), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # multi-table collisions count once
+    )
+    q_vec = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col), dim).alias("qn"),
-        F.posexplode(buckets).alias("tbl", "bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col), dim).alias("cn"),
-        F.posexplode(buckets).alias("tbl", "bucket"),
     )
     joined = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .join(F.broadcast(cand.join(q_vec, "query_id")), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv"), dim) / F.col("qn") / F.col("cn")).alias(
-                "cosine"
-            ),
+            (
+                dot(F.col("qv"), F.col("cv"), dim)
+                / F.col("qn")
+                / norm(F.col("cv"), dim)
+            ).alias("cosine"),
         )
     )
-    if n_tables > 1:
-        joined = joined.distinct()  # multi-table collisions count once
     return _topk(joined, k)
