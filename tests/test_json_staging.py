@@ -59,6 +59,71 @@ def test_malformed_line_yields_nulls_not_failure(spark):
     assert sorted([r["a"] for r in got], key=lambda x: (x is None, x)) == [1, None]
 
 
+def test_corrupt_col_isolates_malformed_lines(spark):
+    """The corrupt-record escape hatch: a malformed line is
+    DISTINGUISHABLE from a legitimately-all-NULL row — the raw text
+    lands in the corrupt column, clean rows carry NULL there."""
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    lines = spark.createDataFrame(
+        [("{\"a\": 1, \"b\": \"x\"}",), ("not json",),
+         ("{\"a\": null, \"b\": null}",)],
+        ["value"],
+    )
+    got = parse_staged_json(lines, schema, corrupt_col="_corrupt")
+    assert got.columns == ["a", "b", "_corrupt"]
+    bad = got.filter(F.col("_corrupt").isNotNull()).collect()
+    assert [r["_corrupt"] for r in bad] == ["not json"]
+    # the legit all-NULL row is NOT flagged
+    assert got.filter(F.col("_corrupt").isNull()).count() == 2
+
+
+def test_failfast_mode_fails_batch_on_corrupt_line(spark):
+    """FAILFAST mirrors the reference's throw-on-bad-record posture
+    (StructuredRecordToJson.java:75-304): one malformed staged line
+    fails the batch instead of silently nulling the record."""
+    import pytest
+
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    lines = spark.createDataFrame([("{\"a\": 1}",), ("not json",)], ["value"])
+    with pytest.raises(Exception, match="FAILFAST|Malformed"):
+        parse_staged_json(lines, schema, mode="FAILFAST").collect()
+    # a clean batch passes through untouched under FAILFAST
+    ok = spark.createDataFrame([("{\"a\": 7}",)], ["value"])
+    assert parse_staged_json(ok, schema, mode="FAILFAST").first()["a"] == 7
+
+
+def test_corrupt_col_argument_validation(spark):
+    import pytest
+
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    lines = spark.createDataFrame([("{\"a\": 1}",)], ["value"])
+    with pytest.raises(ValueError):
+        parse_staged_json(lines, schema, mode="FAILFAST", corrupt_col="_c")
+    with pytest.raises(ValueError):
+        parse_staged_json(lines, schema, corrupt_col="a")
+    with pytest.raises(ValueError):
+        parse_staged_json(lines, schema, mode="DROPMALFORMED")
+
+
+def test_null_fields_serialized_explicitly(spark):
+    """ignoreNullFields=false: every schema field appears in every wire
+    line (NULLs as ``"col":null``), so an external consumer doing
+    field-presence validation sees a consistent object shape per row."""
+    df = spark.createDataFrame(
+        [("u1", None)],
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("html", T.BinaryType()),
+            ]
+        ),
+    )
+    line = staged_json_lines(df).first()["value"]
+    assert '"html":null' in line
+
+
 def test_micros_timestamp_fidelity(spark):
     """Default to_json keeps millis only; the codec's explicit format
     must carry full microseconds both directions."""
