@@ -13,7 +13,10 @@ canonicalizer agrees on):
    paths are NOT — ``/Docs`` stays ``/Docs``);
 3. strip the scheme's default port (``https://h:443`` → ``https://h``,
    ``http://h:80`` → ``http://h``; ``https://h:80`` is a REAL
-   non-default port and is kept);
+   non-default port and is kept).  The match anchors on the LAST colon
+   of the authority, so userinfo (``https://u:p@h:443``) and bracketed
+   IPv6 hosts (``https://[::1]:443``) strip correctly too — the ``$``
+   anchor keeps ``:8443``/``:443443`` untouched;
 4. collapse duplicate slashes in the path and strip trailing slashes
    (``/a//b/`` → ``/a/b``);
 5. sort query parameters byte-wise (param order is almost never
@@ -35,8 +38,8 @@ def canonicalize_url(url: Column) -> Column:
     query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
 
     authority = F.lower(F.regexp_extract(base, _SCHEME_HOST, 1))
-    authority = F.regexp_replace(authority, r"^(https://[^:]*):443$", r"$1")
-    authority = F.regexp_replace(authority, r"^(http://[^:]*):80$", r"$1")
+    authority = F.regexp_replace(authority, r"^(https://.*):443$", r"$1")
+    authority = F.regexp_replace(authority, r"^(http://.*):80$", r"$1")
 
     path = F.regexp_replace(base, _SCHEME_HOST, "")
     path = F.regexp_replace(path, r"/{2,}", "/")

@@ -1165,8 +1165,8 @@ q AS (
     regexp_replace(
       regexp_replace(
         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)', 1)),
-        '^(https://[^:]*):443$', '\1'),
-      '^(http://[^:]*):80$', '\1') AS authority,
+        '^(https://.*):443$', '\1'),
+      '^(http://.*):80$', '\1') AS authority,
     regexp_replace(
       regexp_replace(
         regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', ''),

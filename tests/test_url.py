@@ -15,6 +15,13 @@ CASES = [
     ("https://h.com:80/a", "https://h.com:80/a"),
     ("http://h.com:443/a", "http://h.com:443/a"),
     ("https://h.com:8080/a", "https://h.com:8080/a"),
+    # last-colon anchoring: userinfo and bracketed IPv6 authorities
+    # also strip their default port; near-miss ports stay
+    ("https://u:p@h.com:443/a", "https://u:p@h.com/a"),
+    ("https://[::1]:443/a", "https://[::1]/a"),
+    ("http://[2001:db8::1]:80/a", "http://[2001:db8::1]/a"),
+    ("https://h.com:8443/a", "https://h.com:8443/a"),
+    ("https://[::443]/a", "https://[::443]/a"),
     # fragment dropped, even with query
     ("https://h.com/a#frag", "https://h.com/a"),
     ("https://h.com/a?x=1#frag", "https://h.com/a?x=1"),
