@@ -23,6 +23,13 @@ SNAPSHOT = "_snapshot"
 OP_INSERT = "INSERT"
 OP_UPDATE = "UPDATE"
 OP_DELETE = "DELETE"
+# Control-plane marker: a DDL event riding INLINE in the event stream
+# (the reference receives DDL in the one ordered event stream,
+# BigQueryEventConsumer.java:297-335).  A DDL row carries the serialized
+# event in DDL_PAYLOAD and its sequence point in _sequence_num; all data
+# columns are NULL.
+OP_DDL = "DDL"
+DDL_PAYLOAD = "_ddl"
 
 # Event-stream ordering contract of the source
 ORDERED = "ORDERED"

@@ -27,7 +27,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from .. import constants as C
+from ..types import DDLEvent, ddl_event_from_json, ddl_event_to_json
 from .consumer import EventConsumer
 
 
@@ -358,6 +361,34 @@ def run_mixed_stream_multi(
     return out
 
 
+def ddl_marker_rows(
+    spark: SparkSession, stream_schema, events: list[DDLEvent]
+) -> DataFrame:
+    """Producer-side helper: encode DDL events as inline control rows of
+    the streamed event schema — ``_op = 'DDL'``, the serialized event in
+    ``_ddl``, the sequence point in ``_sequence_num``, routing columns
+    (``_database``/``_table``) filled when the schema carries them, every
+    data column NULL.  Append these rows (in sequence position) to the
+    same parquet stream the DML rows ride; ``run_structured_stream``
+    force-flushes around them (reference: DDL arrives inline in the one
+    ordered event stream, BigQueryEventConsumer.java:297-335,433,457,499)."""
+    names = stream_schema.fieldNames()
+    if C.DDL_PAYLOAD not in names:
+        raise ValueError(f"stream schema lacks the {C.DDL_PAYLOAD} column")
+    rows = []
+    for ev in events:
+        d = {n: None for n in names}
+        d[C.OPERATION] = C.OP_DDL
+        d[C.DDL_PAYLOAD] = ddl_event_to_json(ev)
+        d[C.SEQUENCE_NUM] = ev.sequence_num
+        if "_database" in names:
+            d["_database"] = ev.database
+        if "_table" in names and ev.table is not None:
+            d["_table"] = ev.table
+        rows.append(d)
+    return spark.createDataFrame(rows, stream_schema)
+
+
 def run_structured_stream(
     spark: SparkSession,
     events_dir: str,
@@ -388,26 +419,79 @@ def run_structured_stream(
     written inside the trigger, before Spark advances its commit log, so
     a replayed batch (skip via snapshot batch-id) backfills an absent
     partition and a present one is rewritten idempotently.  Multi-table
-    feeds partition per table (``<changes_dir>/<db>/<table>/batch=<id>``)."""
+    feeds partition per table (``<changes_dir>/<db>/<table>/batch=<id>``).
+
+    **Inline DDL**: when the stream ``schema`` carries the
+    ``constants.DDL_PAYLOAD`` column, the stream may interleave DDL
+    control rows (see :func:`ddl_marker_rows`) with DML — the
+    production shape: the reference's consumer receives DDL inline in
+    the one ordered event stream and force-flushes the buffered DML
+    before applying it (BigQueryEventConsumer.java:297-335,433,457,499).
+    Every trigger then routes through the mixed-batch consumer APIs
+    (DML segments split at each DDL's sequence point; sub-segment lake
+    batch ids use the uniform ``batch_id*STRIDE+k`` space whether or
+    not a given trigger carried DDL, so the replay barrier stays
+    monotone across triggers).  Mid-stream ALTER note: a parquet file
+    stream reads ONE fixed schema, so the stream schema must be the
+    post-evolution superset — pre-ALTER rows carry NULL in late columns
+    and the consumer projects each segment to the table's
+    schema-as-of-that-segment."""
+    inline_ddl = C.DDL_PAYLOAD in schema.fieldNames()
+
+    def _extract_ddl(batch_df: DataFrame):
+        """Split one micro-batch into (DML rows, sequence-ordered DDL
+        events).  The collect touches ONLY control rows — DDL is a
+        rare control-plane object, never the data path."""
+        op = F.col(C.OPERATION)
+        ddl_rows = (
+            batch_df.filter(op == C.OP_DDL).select(C.DDL_PAYLOAD).collect()
+        )
+        ddls = sorted(
+            (ddl_event_from_json(r[C.DDL_PAYLOAD]) for r in ddl_rows),
+            key=lambda e: e.sequence_num,
+        )
+        dml = batch_df.filter(op.isNull() | (op != C.OP_DDL)).drop(C.DDL_PAYLOAD)
+        return dml, ddls
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if multi_table:
-            ms = consumer.apply_multi_table_batch(
-                batch_df, batch_id, tables=tables
-            )
+            if inline_ddl:
+                dml, ddls = _extract_ddl(batch_df)
+                ms = consumer.apply_multi_table_mixed_batch(
+                    dml, ddls, batch_id, tables=tables
+                )
+            else:
+                ms = consumer.apply_multi_table_batch(
+                    batch_df, batch_id, tables=tables
+                )
             for m in ms:
                 _append_lineage(checkpoint_dir, m)
             if changes_dir is not None:
                 for m in ms:
                     _write_changes_feed(
                         consumer, changes_dir, m["database"], m["table_name"],
-                        batch_id, bool(m.get("skipped")), multi_table=True,
+                        m.get("batch_id", batch_id), bool(m.get("skipped")),
+                        multi_table=True,
                     )
             for m in ms:
                 _maybe_auto_compact(
                     consumer, m["database"], m["table_name"],
                     auto_compact_files_per_bucket,
                 )
+        elif inline_ddl:
+            dml, ddls = _extract_ddl(batch_df)
+            ms = consumer.apply_mixed_batch(database, table, dml, ddls, batch_id)
+            for m in ms:
+                _append_lineage(checkpoint_dir, m)
+                if changes_dir is not None:
+                    _write_changes_feed(
+                        consumer, changes_dir, database, table,
+                        m.get("batch_id", batch_id), bool(m.get("skipped")),
+                        multi_table=False,
+                    )
+            _maybe_auto_compact(
+                consumer, database, table, auto_compact_files_per_bucket
+            )
         else:
             m = apply_batch_df(
                 consumer, batch_df, batch_id, database, table, checkpoint_dir

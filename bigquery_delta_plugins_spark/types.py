@@ -35,6 +35,46 @@ class DDLEvent:
     sequence_num: int = 0
 
 
+def ddl_event_to_json(ev: DDLEvent) -> str:
+    """Serialize a DDLEvent for the inline-DDL wire format (the
+    ``constants.DDL_PAYLOAD`` column of a streamed event row).  Schemas
+    ride as Spark's own StructType JSON so the payload is
+    engine-portable; key order is sorted for byte-stable fixtures."""
+    import json
+
+    return json.dumps(
+        {
+            "op": ev.op.value,
+            "database": ev.database,
+            "table": ev.table,
+            "schema": ev.schema.json() if ev.schema is not None else None,
+            "primary_keys": list(ev.primary_keys),
+            "sequence_num": ev.sequence_num,
+        },
+        sort_keys=True,
+    )
+
+
+def ddl_event_from_json(payload: str) -> DDLEvent:
+    """Inverse of :func:`ddl_event_to_json`."""
+    import json
+
+    d = json.loads(payload)
+    schema = (
+        T.StructType.fromJson(json.loads(d["schema"]))
+        if d.get("schema")
+        else None
+    )
+    return DDLEvent(
+        op=DDLOp(d["op"]),
+        database=d["database"],
+        table=d.get("table"),
+        schema=schema,
+        primary_keys=list(d.get("primary_keys") or []),
+        sequence_num=int(d.get("sequence_num") or 0),
+    )
+
+
 @dataclass
 class SourceProperties:
     """Mirrors the reference's SourceProperties: event ordering contract
