@@ -73,6 +73,11 @@ class EventConsumer:
     ):
         self.spark = spark
         self.warehouse = warehouse
+        # Cold-start topology discovery cache (tables=None): one
+        # distinct-scan job per consumer lifetime, DDL-maintained.
+        # topology_discoveries counts discovery jobs for tests/audits.
+        self._topology_cache: list[tuple[str, str]] | None = None
+        self.topology_discoveries = 0
         self.source = source or SourceProperties()
         self.soft_deletes = soft_deletes
         self.num_buckets = num_buckets
@@ -188,6 +193,54 @@ class EventConsumer:
             max_attempts=self.ddl_retry_attempts,
             base_delay=self.ddl_retry_base_delay,
         )
+        self._maintain_topology_cache(event)
+
+    def _maintain_topology_cache(self, event: DDLEvent) -> None:
+        """Keep the discovered-topology cache consistent with applied
+        DDL: tables born mid-stream join the fan-out, dropped tables
+        leave it (a stale entry would fail every subsequent batch)."""
+        if self._topology_cache is None:
+            return
+        cache = set(self._topology_cache)
+        if event.op == DDLOp.CREATE_TABLE:
+            cache.add((event.database, event.table))
+        elif event.op == DDLOp.DROP_TABLE:
+            cache.discard((event.database, event.table))
+        elif event.op == DDLOp.DROP_DATABASE:
+            cache = {(d, t) for d, t in cache if d != event.database}
+        self._topology_cache = sorted(cache)
+
+    def _discover_topology(
+        self, batch_df: DataFrame, database_col: str, table_col: str
+    ) -> list[tuple[str, str]]:
+        """Cold-start topology discovery, cached for the consumer's
+        lifetime: ``tables=None`` runs ONE distinct-scan job on the
+        first batch and reuses the result for every later batch — in
+        steady state the driver should declare its topology; discovery
+        is a bootstrap convenience, and each run is logged so per-batch
+        discovery regressions are visible.  DDL applied through this
+        consumer keeps the cache consistent (tables created mid-stream
+        join the fan-out, dropped ones leave).  NOTE: a table that first
+        appears in a LATER batch without a CREATE_TABLE event is not
+        discovered — declare ``tables`` explicitly for that shape."""
+        if self._topology_cache is None:
+            import logging
+
+            self.topology_discoveries += 1
+            self._topology_cache = sorted(
+                (r["d"], r["t"])
+                for r in batch_df.select(
+                    F.col(database_col).alias("d"), F.col(table_col).alias("t")
+                )
+                .distinct()
+                .collect()
+            )
+            logging.getLogger(__name__).warning(
+                "multi-table topology discovered from batch data (%d tables); "
+                "declare tables=[...] for steady-state streams",
+                len(self._topology_cache),
+            )
+        return list(self._topology_cache)
 
     def _apply_ddl_once(self, event: DDLEvent) -> None:
         """One DDL apply attempt (handleDDL,
@@ -684,14 +737,7 @@ class EventConsumer:
         from concurrent.futures import ThreadPoolExecutor
 
         if tables is None:
-            tables = sorted(
-                (r["d"], r["t"])
-                for r in batch_df.select(
-                    F.col(database_col).alias("d"), F.col(table_col).alias("t")
-                )
-                .distinct()
-                .collect()
-            )
+            tables = self._discover_topology(batch_df, database_col, table_col)
 
         def one(db: str, tb: str) -> dict:
             sub = batch_df.filter(
@@ -833,14 +879,9 @@ class EventConsumer:
             else:
                 ddls_by_table.setdefault((ev.database, ev.table), []).append(ev)
         if tables is None:
-            discovered = {
-                (r["d"], r["t"])
-                for r in batch_df.select(
-                    F.col(database_col).alias("d"), F.col(table_col).alias("t")
-                )
-                .distinct()
-                .collect()
-            }
+            discovered = set(
+                self._discover_topology(batch_df, database_col, table_col)
+            )
         else:
             discovered = set(tables)
         all_tables = sorted(discovered | set(ddls_by_table))

@@ -181,6 +181,34 @@ def test_structured_stream_inline_ddl_single_table(spark, tmp_path):
     assert got == {1: (10.0, "x1"), 2: (2.0, None)}
 
 
+def test_topology_discovery_runs_once_per_consumer(spark, tmp_path):
+    """tables=None is a cold-start convenience: ONE distinct-scan
+    discovery job per consumer lifetime, reused across batches, and
+    DDL applied through the consumer keeps the cached topology
+    consistent (CREATE adds, DROP removes)."""
+    c = _consumer(spark, tmp_path)
+    _create(c, ("a", "b"))
+    mk = lambda rows: _dml(spark, rows).drop(C.DDL_PAYLOAD)  # noqa: E731
+    for i in range(3):
+        c.apply_multi_table_batch(mk([
+            ("INSERT", 10 * i + 1, i, float(i), None, None, "db", "a"),
+            ("INSERT", 10 * i + 2, i, float(i), None, None, "db", "b"),
+        ]), i)
+    assert c.topology_discoveries == 1
+    # DDL maintains the cache without a re-discovery
+    c.apply_ddl(DDLEvent(DDLOp.CREATE_TABLE, "db", "c", schema=SRC,
+                         primary_keys=["user_id"]))
+    c.apply_ddl(DDLEvent(DDLOp.DROP_TABLE, "db", "b"))
+    ms = c.apply_multi_table_batch(mk([
+        ("INSERT", 91, 7, 7.0, None, None, "db", "a"),
+        ("INSERT", 92, 8, 8.0, None, None, "db", "c"),
+    ]), 5)
+    assert c.topology_discoveries == 1
+    assert {(m["database"], m["table_name"]) for m in ms} == {
+        ("db", "a"), ("db", "c")
+    }
+
+
 def test_multi_table_mixed_drop_recreate_mid_stream(spark, tmp_path):
     """Generation bump: DROP + re-CREATE of one table inside a
     multi-table mixed stream (the reference's truncate/drop sequences,
