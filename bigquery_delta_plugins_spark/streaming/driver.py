@@ -121,7 +121,11 @@ def apply_batch_df(
 
 
 def _maybe_auto_compact(
-    consumer: EventConsumer, database: str, table: str, threshold: int | None
+    consumer: EventConsumer,
+    database: str,
+    table: str,
+    threshold: int | None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Driver-loop compaction hook: when any bucket of the table holds
     more than ``threshold`` files, bin-pack it (state-neutral commit —
@@ -130,7 +134,12 @@ def _maybe_auto_compact(
     they run away, lake/table.py:overwrite_buckets), so steady-state
     ingest needs this in the loop, not as a manual CLI step.  The check
     is a driver-side manifest read — no Spark job unless compaction
-    actually runs."""
+    actually runs.
+
+    Observability: each compaction that runs appends an
+    ``event="auto_compact"`` lineage line (files before/after, from/to
+    snapshot ids) so a production operator can see compaction cadence
+    in the same audit trail as the batches."""
     if threshold is None:
         return
     try:
@@ -142,7 +151,16 @@ def _maybe_auto_compact(
     for f in snap["files"]:
         counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
     if counts and max(counts.values()) > threshold:
-        t.compact(max_files_per_bucket=threshold)
+        m = t.compact(max_files_per_bucket=threshold)
+        if checkpoint_dir:
+            _append_lineage(checkpoint_dir, {
+                "event": "auto_compact",
+                "table": t.path,
+                "database": database,
+                "table_name": table,
+                "from_snapshot_id": snap["snapshot_id"],
+                **m,
+            })
 
 
 def run_microbatch_loop(
@@ -185,7 +203,8 @@ def run_microbatch_loop(
         if crash_after_apply_batch is not None and batch_id == crash_after_apply_batch:
             raise RuntimeError(f"simulated crash after applying batch {batch_id}")
         _commit(checkpoint_dir, batch_id)
-        _maybe_auto_compact(consumer, database, table, auto_compact_files_per_bucket)
+        _maybe_auto_compact(consumer, database, table,
+                            auto_compact_files_per_bucket, checkpoint_dir)
     return out
 
 
@@ -250,7 +269,8 @@ def run_microbatch_loop_multi(
             raise RuntimeError(f"simulated crash after applying batch {batch_id}")
         _commit(checkpoint_dir, batch_id)
         for db, tb in tables or []:
-            _maybe_auto_compact(consumer, db, tb, auto_compact_files_per_bucket)
+            _maybe_auto_compact(consumer, db, tb,
+                                auto_compact_files_per_bucket, checkpoint_dir)
     return out
 
 
@@ -476,7 +496,7 @@ def run_structured_stream(
             for m in ms:
                 _maybe_auto_compact(
                     consumer, m["database"], m["table_name"],
-                    auto_compact_files_per_bucket,
+                    auto_compact_files_per_bucket, checkpoint_dir,
                 )
         elif inline_ddl:
             dml, ddls = _extract_ddl(batch_df)
@@ -490,7 +510,8 @@ def run_structured_stream(
                         multi_table=False,
                     )
             _maybe_auto_compact(
-                consumer, database, table, auto_compact_files_per_bucket
+                consumer, database, table, auto_compact_files_per_bucket,
+                checkpoint_dir,
             )
         else:
             m = apply_batch_df(
@@ -502,7 +523,8 @@ def run_structured_stream(
                     bool(m.get("skipped")), multi_table=False,
                 )
             _maybe_auto_compact(
-                consumer, database, table, auto_compact_files_per_bucket
+                consumer, database, table, auto_compact_files_per_bucket,
+                checkpoint_dir,
             )
 
     reader = (

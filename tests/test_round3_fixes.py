@@ -567,3 +567,17 @@ def test_auto_compact_keeps_file_counts_bounded(spark, tmp_path, monkeypatch):
     assert {r["user_id"] for r in t.read().collect()} == set(range(12))
     # and every batch's changelog is still reachable and correct
     assert t.changes_for_batch(11).count() > 0
+    # observability: each compaction that ran left an auto_compact
+    # lineage line with the before/after file counts and snapshot span
+    import json as _json
+    with open(tmp_path / "cp" / "lineage.jsonl") as f:
+        lines = [_json.loads(l) for l in f]
+    compactions = [l for l in lines if l.get("event") == "auto_compact"]
+    assert compactions, "auto-compaction ran but emitted no lineage line"
+    for entry in compactions:
+        assert entry["files_before"] > entry["files_after"]
+        assert entry["buckets_compacted"] >= 1
+        assert entry["snapshot_id"] > entry["from_snapshot_id"]
+        assert entry["database"] == "db" and entry["table_name"] == "t"
+        # state-neutral: the changelog across the compaction commit is empty
+        assert t.changes(entry["from_snapshot_id"], entry["snapshot_id"]).count() == 0
