@@ -413,18 +413,20 @@ def test_dirty_names_streaming_e2e(spark, tmp_path):
 
 
 def test_approximate_paths_recall_floor(spark):
-    """VERDICT #6: the approximate similarity paths claim 'audit vs
-    brute force' — this pins the audit as numbers.  Multi-table sign-LSH
-    (planes=4, tables=12) and nprobe=4 IVF must keep recall@5 ≥ 0.6 on
-    the sf0.01 corpus, and the banded cosine pair search ≥ 0.6 pair
-    recall vs the exact all-pairs baseline (round-3 measured values:
-    0.75 / 0.65 / 0.78; a single 8-plane table measured 0.0)."""
+    """VERDICT r2 #6 / r3 #6: the approximate similarity paths claim
+    'audit vs brute force' — this pins the audit as numbers.  The
+    round-4 swept knobs (tools/recall_sweep.py; ANN 3 planes × 8
+    tables, neardup 3 × 6, IVF 8 cells nprobe 4) measured recall@5
+    0.90 / 0.65 / pair recall 0.88 on the sf0.01 corpus — floors are
+    pinned one notch below the measured values so a silent knob or
+    hashing regression trips the test without making it flaky (round 2
+    shipped an unmeasured single 8-plane table at recall 0.0)."""
     from bigquery_delta_plugins_spark.plans.recall import recall_report
 
     rep = recall_report(spark, "/root/testdata/sf0.01")
-    assert rep["ann_lsh_recall_at_k"] >= 0.6, rep
+    assert rep["ann_lsh_recall_at_k"] >= 0.8, rep
     assert rep["ann_ivf_recall_at_k"] >= 0.6, rep
-    assert rep["cosine_banded_pair_recall"] >= 0.6, rep
+    assert rep["cosine_banded_pair_recall"] >= 0.75, rep
 
 
 def test_unique_key_fast_path_matches_exact_merge(spark, tmp_path):
