@@ -27,9 +27,24 @@ Environment findings baked into the session config (see BENCH/BASELINE.md):
   in page-table/TLB churn at 32 threads (observed 60-100s random stalls).
 - ``num_buckets`` is a TABLE property — identical at every cluster size.
 
+Interleaved protocol (round 4, default): the round-3 sequential
+protocol ran each level's whole batch train back-to-back, so a
+level-wide slow period on a shared box (VM steal — sample d measured
+0.626) lands entirely on ONE level and no per-level median can reject
+it.  Round 4 keeps both level JVMs alive simultaneously and alternates
+SINGLE batches between them (A0 B0 | B1 A1 | A2 B2 ... — the leader
+swaps each pair, cancelling ordering/page-cache bias); only one level
+executes at any instant, so there is no contention, and any slow
+period spanning more than one batch hits both levels ~equally.  The
+per-pair throughput ratio is then a paired statistic: the report
+carries the median of per-pair efficiencies alongside the
+median-batch efficiency.  SPARK_GRAFT_SCALE_INTERLEAVE=0 restores the
+sequential protocol.
+
 Usage:
   python tools/scaling_bench.py                 # orchestrate both levels
   python tools/scaling_bench.py --run 8 <dir>   # (internal) one level
+  python tools/scaling_bench.py --worker 8 <dir> # (internal) stepper
 """
 
 from __future__ import annotations
@@ -98,7 +113,9 @@ def generate(events_dir: str) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, events_dir: str) -> None:
+def _setup(cpus: int, events_dir: str):
+    """Session + consumer + per-batch frames for one level (shared by
+    the sequential --run path and the interleaved --worker stepper)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -107,7 +124,6 @@ def run_level(cpus: int, events_dir: str) -> None:
         extract_text_transform,
     )
     from bigquery_delta_plugins_spark.streaming.consumer import EventConsumer
-    from bigquery_delta_plugins_spark.streaming.driver import run_microbatch_loop
     from bigquery_delta_plugins_spark.types import DDLEvent, DDLOp
 
     spark = session(cpus)
@@ -146,17 +162,14 @@ def run_level(cpus: int, events_dir: str) -> None:
     ev = spark.read.parquet(events_dir)
     n_batches = N_EVENTS // BATCH_SIZE
     batches = [(b, ev.filter(F.col(C.BATCH_ID) == b)) for b in range(n_batches)]
-
-    # First WARMUP_BATCHES batches warm the process; steady-state
-    # throughput is measured over the rest.
     cp = os.path.join(root, "cp")
-    t0 = time.monotonic()
-    run_microbatch_loop(consumer, batches[:WARMUP_BATCHES], "web", "pages", cp)
-    warmup = time.monotonic() - t0
-    t0 = time.monotonic()
-    metrics = run_microbatch_loop(consumer, batches, "web", "pages", cp)
-    wall = time.monotonic() - t0
-    steady_events = N_EVENTS - WARMUP_BATCHES * BATCH_SIZE
+    return spark, consumer, batches, cp, root
+
+
+def _fingerprint(consumer):
+    from pyspark.sql import functions as F
+
+    from bigquery_delta_plugins_spark import constants as C
 
     final = consumer.table("web", "pages").read()
     fp = final.agg(
@@ -169,6 +182,29 @@ def run_level(cpus: int, events_dir: str) -> None:
         ).alias("h"),
         F.max(C.SEQUENCE_NUM).alias("max_seq"),
     ).first()
+    return {
+        "final_rows": fp["rows"],
+        "state_hash": int(fp["h"]),
+        "max_seq": fp["max_seq"],
+    }
+
+
+def run_level(cpus: int, events_dir: str) -> None:
+    from bigquery_delta_plugins_spark.streaming.driver import run_microbatch_loop
+
+    spark, consumer, batches, cp, root = _setup(cpus, events_dir)
+
+    # First WARMUP_BATCHES batches warm the process; steady-state
+    # throughput is measured over the rest.
+    t0 = time.monotonic()
+    run_microbatch_loop(consumer, batches[:WARMUP_BATCHES], "web", "pages", cp)
+    warmup = time.monotonic() - t0
+    t0 = time.monotonic()
+    metrics = run_microbatch_loop(consumer, batches, "web", "pages", cp)
+    wall = time.monotonic() - t0
+    steady_events = N_EVENTS - WARMUP_BATCHES * BATCH_SIZE
+
+    fp = _fingerprint(consumer)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
@@ -186,18 +222,169 @@ def run_level(cpus: int, events_dir: str) -> None:
                 "median_batch_sec": med,
                 "median_events_per_sec": round(BATCH_SIZE / med, 1) if med else None,
                 "per_batch_sec": walls,
-                "final_rows": fp["rows"],
-                "state_hash": int(fp["h"]),
-                "max_seq": fp["max_seq"],
+                **fp,
             }
         )
     )
     spark.stop()
 
 
+def run_worker(cpus: int, events_dir: str) -> None:
+    """Interleaved-protocol stepper: holds the level's JVM + lake state
+    open and executes ONE command per stdin line, acking each with a
+    JSON line on stdout (stdout carries ONLY protocol lines; Spark
+    logs go to stderr).  Commands:
+
+      warmup        -> run batches [0, WARMUP_BATCHES)
+      batch <b>     -> run batch b, report its wall
+      finish        -> fingerprint the final table state, clean up, exit
+    """
+    from bigquery_delta_plugins_spark.streaming.driver import run_microbatch_loop
+
+    spark, consumer, batches, cp, root = _setup(cpus, events_dir)
+
+    def say(obj) -> None:
+        print(json.dumps(obj), flush=True)
+
+    say({"ready": cpus})
+    for line in sys.stdin:
+        cmd = line.strip().split()
+        if not cmd:
+            continue
+        if cmd[0] == "warmup":
+            t0 = time.monotonic()
+            run_microbatch_loop(
+                consumer, batches[:WARMUP_BATCHES], "web", "pages", cp
+            )
+            say({"warmup_sec": round(time.monotonic() - t0, 3)})
+        elif cmd[0] == "batch":
+            b = int(cmd[1])
+            t0 = time.monotonic()
+            run_microbatch_loop(consumer, [batches[b]], "web", "pages", cp)
+            say({"batch": b, "sec": round(time.monotonic() - t0, 4)})
+        elif cmd[0] == "finish":
+            say(_fingerprint(consumer))
+            break
+        else:
+            say({"error": f"unknown command {cmd[0]!r}"})
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+class _Worker:
+    """Coordinator-side handle for one interleaved-level subprocess."""
+
+    def __init__(self, cpus: int, events_dir: str):
+        self.cpus = cpus
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(cpus), events_dir],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+            bufsize=1,
+            env={**os.environ},
+        )
+        ready = self._read()
+        assert ready.get("ready") == cpus, ready
+
+    def _read(self) -> dict:
+        line = self.proc.stdout.readline()
+        if not line:
+            raise RuntimeError(f"worker local[{self.cpus}] died")
+        return json.loads(line)
+
+    def send(self, cmd: str) -> dict:
+        self.proc.stdin.write(cmd + "\n")
+        self.proc.stdin.flush()
+        return self._read()
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.close()
+        except Exception:
+            pass
+        self.proc.wait(timeout=120)
+
+
+def run_interleaved(events_dir: str, gen_sec: float) -> None:
+    """Round-4 protocol: both level JVMs alive, single batches alternated
+    between them (leader swaps each pair), so box-wide slow periods hit
+    both levels ~equally and per-pair efficiency is a paired statistic."""
+    import statistics
+
+    assert len(LEVELS) == 2, "interleaved protocol is pairwise; set LEVELS=lo,hi"
+    lo_cpus, hi_cpus = LEVELS
+    n_batches = N_EVENTS // BATCH_SIZE
+    steady = list(range(WARMUP_BATCHES, n_batches))
+
+    # start + warm up sequentially — never two active Spark jobs at once
+    lo = _Worker(lo_cpus, events_dir)
+    warm_lo = lo.send("warmup")["warmup_sec"]
+    hi = _Worker(hi_cpus, events_dir)
+    warm_hi = hi.send("warmup")["warmup_sec"]
+
+    walls: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
+    for i, b in enumerate(steady):
+        order = (lo, hi) if i % 2 == 0 else (hi, lo)
+        for w in order:
+            r = w.send(f"batch {b}")
+            walls[w.cpus].append(r["sec"])
+            print(json.dumps({"cpus": w.cpus, **r}), file=sys.stderr, flush=True)
+    fp_lo = lo.send("finish")
+    fp_hi = hi.send("finish")
+    lo.close()
+    hi.close()
+
+    speedup = hi_cpus / lo_cpus
+    pair_eff = [
+        round((a / b) / speedup, 4)
+        for a, b in zip(walls[lo_cpus], walls[hi_cpus])
+    ]
+    med_lo = statistics.median(walls[lo_cpus])
+    med_hi = statistics.median(walls[hi_cpus])
+    levels = [
+        {
+            "cpus": c,
+            "warmup_sec": w,
+            "median_batch_sec": statistics.median(walls[c]),
+            "median_events_per_sec": round(
+                BATCH_SIZE / statistics.median(walls[c]), 1
+            ),
+            "per_batch_sec": walls[c],
+            **fp,
+        }
+        for c, w, fp in ((lo_cpus, warm_lo, fp_lo), (hi_cpus, warm_hi, fp_hi))
+    ]
+    report = {
+        "protocol": "interleaved",
+        "n_events": N_EVENTS,
+        "batch_size": BATCH_SIZE,
+        "n_urls": N_URLS,
+        "num_buckets": NUM_BUCKETS,
+        "warmup_batches": WARMUP_BATCHES,
+        "gen_sec": gen_sec,
+        "levels": levels,
+        "scaling_efficiency": {
+            f"{lo_cpus}->{hi_cpus}": {
+                "median_batch": round((med_lo / med_hi) / speedup, 3),
+                "median_pair": round(statistics.median(pair_eff), 3),
+                "per_pair": pair_eff,
+            }
+        },
+        "state_identical": fp_lo == fp_hi,
+    }
+    print(json.dumps(report))
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
         run_level(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        run_worker(int(sys.argv[2]), sys.argv[3])
         return
 
     reuse = os.environ.get("SPARK_GRAFT_SCALE_EVENTS_DIR")
@@ -208,6 +395,16 @@ def main() -> None:
         t0 = time.monotonic()
         generate(events_dir)
         gen_sec = round(time.monotonic() - t0, 1)
+
+    if os.environ.get("SPARK_GRAFT_SCALE_INTERLEAVE", "1") != "0":
+        try:
+            run_interleaved(events_dir, gen_sec)
+        finally:
+            if not reuse:
+                import shutil
+
+                shutil.rmtree(os.path.dirname(events_dir), ignore_errors=True)
+        return
 
     results = []
     for cpus in LEVELS:
