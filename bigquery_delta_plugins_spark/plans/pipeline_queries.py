@@ -244,6 +244,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment (operators/dedup.py::
+    near_dup_clusters): verified MinHash pairs -> connected components
+    -> (doc_id, cluster_id, cluster_size).  The transitive-closure step
+    a curation pipeline applies on top of pairwise near-dup detection —
+    keep doc_id == cluster_id, drop the rest."""
+    return DD.near_dup_clusters(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=SHINGLE_K,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(
         _docs(spark, sf_dir),
@@ -818,7 +835,11 @@ common AS (
 {_jaccard_tail(JACCARD_THRESHOLD, src="shf")}"""
 
 
-def _sql_dedup_minhash() -> str:
+def _minhash_cte_body() -> str:
+    """Shared CTE chain: tokens -> shingles -> minhash signatures ->
+    banded LSH candidates -> per-pair common-shingle counts.  Used by
+    the pair oracle (_sql_dedup_minhash) and the cluster oracle
+    (_sql_dedup_cluster) so both transliterate ONE generator."""
     r = MINHASH_NUM // MINHASH_BANDS
     mins = ",\n  ".join(
         f"min(md5('{h}:' || shingle)) AS mh_{h}" for h in range(MINHASH_NUM)
@@ -830,7 +851,7 @@ def _sql_dedup_minhash() -> str:
         )
         for b in range(MINHASH_BANDS)
     )
-    return f"""WITH {_TOKS},
+    return f"""{_TOKS},
 {_shingles_cte(SHINGLE_K)},
 sig AS (SELECT id,
   {mins}
@@ -846,8 +867,37 @@ common AS (
   FROM cand
   JOIN sh sa ON sa.id = cand.id_a
   JOIN sh sb ON sb.id = cand.id_b AND sa.shingle = sb.shingle
-  GROUP BY 1, 2),
+  GROUP BY 1, 2)"""
+
+
+def _sql_dedup_minhash() -> str:
+    return f"""WITH {_minhash_cte_body()},
 {_jaccard_tail(JACCARD_THRESHOLD)}"""
+
+
+def _sql_dedup_cluster() -> str:
+    # operators/dedup.py::near_dup_clusters — the transitive closure of
+    # the verified MinHash pair graph, as a DuckDB recursive CTE (UNION
+    # recursion dedups, so label flow terminates at the fixpoint the
+    # Spark min-label loop reaches).
+    return f"""WITH RECURSIVE {_minhash_cte_body()},
+cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM common c JOIN cnt ca ON ca.id = c.id_a JOIN cnt cb ON cb.id = c.id_b
+  WHERE c.c / (ca.n + cb.n - c.c) >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, component) AS (
+    SELECT src, src FROM edges
+  UNION
+    SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id AS doc_id, min(component) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp"""
 
 
 def _sql_dedup_simhash() -> str:
@@ -1308,6 +1358,7 @@ QUERIES = {
     "corpus_split_counts": corpus_split_counts,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_simhash": dedup_simhash,
     "embed_cosine_neardup": embed_cosine_neardup,
     "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -1342,6 +1393,7 @@ def oracles() -> dict[str, str]:
         "corpus_split_counts": _sql_corpus_split(),
         "dedup_ngram_jaccard": _sql_dedup_jaccard(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "dedup_cluster_assign": _sql_dedup_cluster(),
         "dedup_simhash": _sql_dedup_simhash(),
         "embed_cosine_neardup": _sql_embed_neardup(),
         "ann_topk_bruteforce": _sql_ann_bruteforce(),

@@ -1,20 +1,45 @@
-"""Round-4 items, each pinned by a regression test:
+"""Round-4 fixes, each pinned by a regression test:
 
+- mixed DML+DDL through the Structured Streaming front-end: DDL rides
+  INLINE in the streamed parquet (``_op='DDL'`` control rows carrying a
+  serialized DDLEvent in ``_ddl``), and ``run_structured_stream``
+  force-flushes around each DDL's sequence point — the production shape
+  of the reference consumer (BigQueryEventConsumer.java:297-335,433,
+  457,499), previously reachable only through the deterministic loop.
+- uniform STRIDE id space across triggers when the stream schema
+  carries ``_ddl`` (a DDL-free trigger after a DDL-carrying one must
+  not be skipped as replay).
 - DROP + re-CREATE (generation bump) for one table mid-multi-table
-  stream, via STANDALONE DDL control events — the reference's
-  truncate/drop sequences (BigQueryEventConsumerTest.java:511-526,
-  788-885) composed with the multi-table fan-out (O23 x O27).
-- A table born by a standalone CREATE mid-stream joins the cached
-  topology and receives its post-CREATE DML.
+  stream (reference truncate/drop sequences,
+  BigQueryEventConsumerTest.java:511-526,788-885) — both interleaved
+  inside a DML item and as STANDALONE control events with checkpoint
+  resume across the DDL boundary and an independent-replay oracle.
+- DDLEvent JSON wire round trip.
+- topology cache: discovery once per consumer lifetime; standalone
+  CREATE/DROP maintain the cached fan-out through the stream driver.
+- near-dup cluster formation: connected components over the pair
+  graph (chain/clique/min-label correctness, non-convergence rail,
+  A~B~C transitivity through near_dup_clusters).
 """
 
-import pytest
+import os
+import time as _time
+
 from pyspark.sql import types as T
 
 from bigquery_delta_plugins_spark import constants as C
 from bigquery_delta_plugins_spark.streaming.consumer import EventConsumer
-from bigquery_delta_plugins_spark.streaming.driver import run_mixed_stream_multi
-from bigquery_delta_plugins_spark.types import DDLEvent, DDLOp
+from bigquery_delta_plugins_spark.streaming.driver import (
+    ddl_marker_rows,
+    run_mixed_stream_multi,
+    run_structured_stream,
+)
+from bigquery_delta_plugins_spark.types import (
+    DDLEvent,
+    DDLOp,
+    ddl_event_from_json,
+    ddl_event_to_json,
+)
 
 SRC = T.StructType(
     [
@@ -23,68 +48,241 @@ SRC = T.StructType(
     ]
 )
 
-MULTI = T.StructType(
+WIDE_SRC = T.StructType(SRC.fields + [T.StructField("extra", T.StringType(), True)])
+
+# Stream schema: the post-evolution superset (a parquet file stream
+# reads one fixed schema; pre-ALTER rows carry NULL in late columns)
+# plus the inline-DDL control column.
+STREAM = T.StructType(
     [
-        T.StructField(C.OPERATION, T.StringType(), False),
-        T.StructField(C.SEQUENCE_NUM, T.LongType(), False),
+        T.StructField(C.OPERATION, T.StringType(), True),
+        T.StructField(C.SEQUENCE_NUM, T.LongType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("value", T.DoubleType(), True),
+        T.StructField("extra", T.StringType(), True),
         T.StructField("_before_user_id", T.LongType(), True),
         T.StructField("_database", T.StringType(), True),
         T.StructField("_table", T.StringType(), True),
+        T.StructField(C.DDL_PAYLOAD, T.StringType(), True),
     ]
 )
 
 
-def _consumer(spark, path, **kw):
-    return EventConsumer(spark, str(path), num_buckets=2, **kw)
+def _consumer(spark, tmp_path, **kw):
+    return EventConsumer(spark, os.path.join(str(tmp_path), "wh"), num_buckets=2, **kw)
 
 
-def _create(c, tables):
+def _create(c, tables, schema=SRC):
     for t in tables:
         c.apply_ddl(
-            DDLEvent(DDLOp.CREATE_TABLE, "db", t, schema=SRC, primary_keys=["user_id"])
+            DDLEvent(DDLOp.CREATE_TABLE, "db", t, schema=schema,
+                     primary_keys=["user_id"])
         )
 
 
-def _rows(spark, rows):
-    return spark.createDataFrame(rows, MULTI)
+def _dml(spark, rows):
+    # rows: (op, seq, uid, val, extra, before, db, tb); _ddl always NULL
+    return spark.createDataFrame([r + (None,) for r in rows], STREAM)
+
+
+def _write_file(df, events_dir):
+    df.coalesce(1).write.mode("append").parquet(events_dir)
+    _time.sleep(1.05)  # distinct mtimes => deterministic file order
+
+
+def test_ddl_event_json_roundtrip():
+    ev = DDLEvent(DDLOp.ALTER_TABLE, "db", "a", schema=WIDE_SRC,
+                  primary_keys=["user_id"], sequence_num=5)
+    back = ddl_event_from_json(ddl_event_to_json(ev))
+    assert back.op == ev.op and back.database == ev.database
+    assert back.table == ev.table and back.primary_keys == ev.primary_keys
+    assert back.sequence_num == ev.sequence_num
+    assert back.schema.json() == ev.schema.json()
+    bare = DDLEvent(DDLOp.DROP_DATABASE, "db")
+    back = ddl_event_from_json(ddl_event_to_json(bare))
+    assert back.op == DDLOp.DROP_DATABASE and back.table is None
+    assert back.schema is None and back.primary_keys == []
+
+
+def test_structured_stream_inline_ddl_multi_table(spark, tmp_path):
+    """ALTER mid-stream through the PRODUCTION front-end: the DDL rides
+    inline in the parquet event stream, `run_structured_stream` splits
+    table a's DML at the ALTER's sequence point, and a DDL-free later
+    trigger still applies (uniform STRIDE id space).  Table b never
+    sees the new column."""
+    c = _consumer(spark, tmp_path)
+    _create(c, ("a", "b"))
+    events_dir = str(tmp_path / "events")
+    alter = DDLEvent(DDLOp.ALTER_TABLE, "db", "a", schema=WIDE_SRC,
+                     primary_keys=["user_id"], sequence_num=5)
+    # trigger 0: plain DML for both tables
+    _write_file(_dml(spark, [
+        ("INSERT", 1, 1, 1.0, None, None, "db", "a"),
+        ("INSERT", 2, 2, 2.0, None, None, "db", "b"),
+    ]), events_dir)
+    # trigger 1: pre-ALTER DML + inline ALTER + post-ALTER DML
+    batch1 = _dml(spark, [
+        ("INSERT", 3, 3, 3.0, None, None, "db", "a"),
+        ("UPDATE", 6, 1, 10.0, "e6", 1, "db", "a"),
+        ("INSERT", 7, 9, 9.0, None, None, "db", "b"),
+    ]).unionByName(ddl_marker_rows(spark, STREAM, [alter]))
+    _write_file(batch1, events_dir)
+    # trigger 2: DDL-free trigger after the DDL-carrying one
+    _write_file(_dml(spark, [
+        ("INSERT", 8, 4, 4.0, "e8", None, "db", "a"),
+    ]), events_dir)
+
+    cp = os.path.join(str(tmp_path), "cp")
+    run_structured_stream(
+        spark, events_dir, STREAM, c, "", "", cp,
+        max_files_per_trigger=1, multi_table=True,
+        tables=[("db", "a"), ("db", "b")],
+    )
+    a = {r["user_id"]: (r["value"], r["extra"])
+         for r in c.table("db", "a").read().collect()}
+    # user 1 updated post-ALTER (carries extra); user 3 pre-ALTER ->
+    # NULL; user 4 from the DDL-free third trigger
+    assert a == {1: (10.0, "e6"), 3: (3.0, None), 4: (4.0, "e8")}
+    b = {r["user_id"]: r["value"] for r in c.table("db", "b").read().collect()}
+    assert b == {2: 2.0, 9: 9.0}
+    assert "extra" not in [f.name for f in c.table("db", "b").schema.fields]
+
+    # resume from the checkpoint with no new files: a no-op, state
+    # byte-identical (exactly-once)
+    before = sorted(map(str, c.table("db", "a").read().collect()))
+    run_structured_stream(
+        spark, events_dir, STREAM, c, "", "", cp,
+        max_files_per_trigger=1, multi_table=True,
+        tables=[("db", "a"), ("db", "b")],
+    )
+    assert sorted(map(str, c.table("db", "a").read().collect())) == before
+
+
+def test_structured_stream_inline_ddl_single_table(spark, tmp_path):
+    """Single-table stream with an inline ALTER: same force-flush
+    semantics through `run_structured_stream` without (_database,
+    _table) routing columns."""
+    single = T.StructType(
+        [f for f in STREAM.fields if f.name not in ("_database", "_table")]
+    )
+    c = _consumer(spark, tmp_path)
+    _create(c, ("t",))
+    events_dir = str(tmp_path / "events")
+    alter = DDLEvent(DDLOp.ALTER_TABLE, "db", "t", schema=WIDE_SRC,
+                     primary_keys=["user_id"], sequence_num=4)
+    rows = [
+        ("INSERT", 1, 1, 1.0, None, None, None),
+        ("INSERT", 2, 2, 2.0, None, None, None),
+        ("UPDATE", 5, 1, 10.0, "x1", 1, None),
+    ]
+    batch = spark.createDataFrame(rows, single).unionByName(
+        ddl_marker_rows(spark, single, [alter])
+    )
+    batch.coalesce(1).write.mode("append").parquet(events_dir)
+    run_structured_stream(
+        spark, events_dir, single, c, "db", "t",
+        os.path.join(str(tmp_path), "cp"), max_files_per_trigger=1,
+    )
+    got = {r["user_id"]: (r["value"], r["extra"])
+           for r in c.table("db", "t").read().collect()}
+    assert got == {1: (10.0, "x1"), 2: (2.0, None)}
+
+
+def test_topology_discovery_runs_once_per_consumer(spark, tmp_path):
+    """tables=None is a cold-start convenience: ONE distinct-scan
+    discovery job per consumer lifetime, reused across batches, and
+    DDL applied through the consumer keeps the cached topology
+    consistent (CREATE adds, DROP removes)."""
+    c = _consumer(spark, tmp_path)
+    _create(c, ("a", "b"))
+    mk = lambda rows: _dml(spark, rows).drop(C.DDL_PAYLOAD)  # noqa: E731
+    for i in range(3):
+        c.apply_multi_table_batch(mk([
+            ("INSERT", 10 * i + 1, i, float(i), None, None, "db", "a"),
+            ("INSERT", 10 * i + 2, i, float(i), None, None, "db", "b"),
+        ]), i)
+    assert c.topology_discoveries == 1
+    # DDL maintains the cache without a re-discovery
+    c.apply_ddl(DDLEvent(DDLOp.CREATE_TABLE, "db", "c", schema=SRC,
+                         primary_keys=["user_id"]))
+    c.apply_ddl(DDLEvent(DDLOp.DROP_TABLE, "db", "b"))
+    ms = c.apply_multi_table_batch(mk([
+        ("INSERT", 91, 7, 7.0, None, None, "db", "a"),
+        ("INSERT", 92, 8, 8.0, None, None, "db", "c"),
+    ]), 5)
+    assert c.topology_discoveries == 1
+    assert {(m["database"], m["table_name"]) for m in ms} == {
+        ("db", "a"), ("db", "c")
+    }
+
+
+def test_multi_table_mixed_drop_recreate_mid_stream(spark, tmp_path):
+    """Generation bump: DROP + re-CREATE of one table inside a
+    multi-table mixed stream (the reference's truncate/drop sequences,
+    BigQueryEventConsumerTest.java:511-526,788-885).  Pre-DROP rows for
+    the old generation are gone; the reborn table holds exactly its
+    post-CREATE DML; the sibling table is untouched."""
+    c = _consumer(spark, tmp_path)
+    _create(c, ("a", "b"))
+    drop = DDLEvent(DDLOp.DROP_TABLE, "db", "a", sequence_num=4)
+    create = DDLEvent(DDLOp.CREATE_TABLE, "db", "a", schema=WIDE_SRC,
+                      primary_keys=["user_id"], sequence_num=5)
+    batch0 = _dml(spark, [
+        ("INSERT", 1, 1, 1.0, None, None, "db", "a"),
+        ("INSERT", 2, 2, 2.0, None, None, "db", "b"),
+    ]).drop(C.DDL_PAYLOAD)
+    batch1 = _dml(spark, [
+        # old-generation row, applied before the DROP
+        ("INSERT", 3, 3, 3.0, None, None, "db", "a"),
+        # new-generation rows after the re-CREATE
+        ("INSERT", 6, 100, 100.0, "g2", None, "db", "a"),
+        ("INSERT", 7, 9, 9.0, None, None, "db", "b"),
+    ]).drop(C.DDL_PAYLOAD)
+    run_mixed_stream_multi(
+        c, [("dml", batch0), ("dml", batch1, [drop, create])],
+        str(tmp_path / "cp"),
+    )
+    a = {r["user_id"]: (r["value"], r["extra"])
+         for r in c.table("db", "a").read().collect()}
+    assert a == {100: (100.0, "g2")}
+    b = {r["user_id"]: r["value"] for r in c.table("db", "b").read().collect()}
+    assert b == {2: 2.0, 9: 9.0}
 
 
 def _state(c, db, tb):
     return {r["user_id"]: r["value"] for r in c.table(db, tb).read().collect()}
 
 
-def test_multi_table_drop_recreate_mid_stream(spark, tmp_path):
-    """A standalone DROP then re-CREATE for ONE table mid-multi-table
-    stream bumps that table's generation: its snapshot history and
-    batch-id barrier reset, post-re-CREATE DML applies from scratch,
-    and the sibling table's merge chain is untouched.  The reference's
-    drop/truncate sequences (BigQueryEventConsumerTest.java:511-526,
-    788-885) over the O23 fan-out.
+def test_multi_table_standalone_drop_recreate_with_resume(spark, tmp_path):
+    """STANDALONE DDL control events: a DROP then re-CREATE for ONE
+    table between DML items bumps that table's generation — snapshot
+    history and batch-id barrier reset, post-re-CREATE DML applies from
+    scratch — with a checkpoint resume exercised ACROSS the DDL
+    boundary and the final state oracle-checked against an independent
+    consumer replay (drop+create == table born at the create point).
 
-    Oracle: the re-created table's final state must equal a FRESH table
-    fed only the post-re-CREATE segment of its sub-stream (drop+create
-    == table born at the create point) — checked against an independent
-    consumer replay, plus the sibling's full-stream replay."""
-    c = _consumer(spark, tmp_path / "wh")
-    _create(c, tables=("a", "b"))
+    Complements test_multi_table_mixed_drop_recreate_mid_stream, which
+    drives the same sequence interleaved INSIDE one DML item."""
+    c = _consumer(spark, tmp_path)
+    _create(c, ("a", "b"))
     cp = str(tmp_path / "cp")
-    b0 = _rows(spark, [
-        ("INSERT", 1, 1, 1.0, None, "db", "a"),
-        ("INSERT", 2, 2, 2.0, None, "db", "b"),
-        ("INSERT", 3, 3, 3.0, None, "db", "b"),
-    ])
+    b0 = _dml(spark, [
+        ("INSERT", 1, 1, 1.0, None, None, "db", "a"),
+        ("INSERT", 2, 2, 2.0, None, None, "db", "b"),
+        ("INSERT", 3, 3, 3.0, None, None, "db", "b"),
+    ]).drop(C.DDL_PAYLOAD)
     drop = DDLEvent(DDLOp.DROP_TABLE, "db", "b", sequence_num=4)
     recreate = DDLEvent(DDLOp.CREATE_TABLE, "db", "b", schema=SRC,
                         primary_keys=["user_id"], sequence_num=5)
     post = [  # table b's post-re-CREATE sub-stream
-        ("INSERT", 6, 30, 30.0, None, "db", "b"),
-        ("UPDATE", 7, 30, 31.0, 30, "db", "b"),
-        ("INSERT", 8, 40, 40.0, None, "db", "b"),
-        ("DELETE", 9, 40, 40.0, 40, "db", "b"),
+        ("INSERT", 6, 30, 30.0, None, None, "db", "b"),
+        ("UPDATE", 7, 30, 31.0, None, 30, "db", "b"),
+        ("INSERT", 8, 40, 40.0, None, None, "db", "b"),
+        ("DELETE", 9, 40, 40.0, None, 40, "db", "b"),
     ]
-    b1 = _rows(spark, [("UPDATE", 10, 1, 10.0, 1, "db", "a")] + post)
+    b1 = _dml(
+        spark, [("UPDATE", 10, 1, 10.0, None, 1, "db", "a")] + post
+    ).drop(C.DDL_PAYLOAD)
     items = [("dml", b0), ("ddl", drop), ("ddl", recreate), ("dml", b1)]
 
     # run the first three items, then resume across the DDL boundary
@@ -96,13 +294,15 @@ def test_multi_table_drop_recreate_mid_stream(spark, tmp_path):
 
     # oracle 1: sibling table a == full-stream replay on a fresh consumer
     # oracle 2: re-created b == fresh table fed only the post-CREATE rows
-    o = _consumer(spark, tmp_path / "oracle_wh")
-    _create(o, tables=("a", "b"))
-    o.apply_batch("db", "a", _rows(spark, [
-        ("INSERT", 1, 1, 1.0, None, "db", "a"),
-        ("UPDATE", 10, 1, 10.0, 1, "db", "a"),
-    ]).drop("_database", "_table"), 0)
-    o.apply_batch("db", "b", _rows(spark, post).drop("_database", "_table"), 0)
+    o = _consumer(spark, tmp_path / "oracle")
+    _create(o, ("a", "b"))
+    o.apply_batch("db", "a", _dml(spark, [
+        ("INSERT", 1, 1, 1.0, None, None, "db", "a"),
+        ("UPDATE", 10, 1, 10.0, None, 1, "db", "a"),
+    ]).drop(C.DDL_PAYLOAD, "_database", "_table"), 0)
+    o.apply_batch("db", "b",
+                  _dml(spark, post).drop(C.DDL_PAYLOAD, "_database", "_table"),
+                  0)
     assert _state(c, "db", "a") == _state(o, "db", "a") == {1: 10.0}
     assert _state(c, "db", "b") == _state(o, "db", "b") == {30: 31.0}
 
@@ -111,7 +311,8 @@ def test_multi_table_drop_recreate_mid_stream(spark, tmp_path):
     assert c.table("db", "b").history().count() == 2
     assert c.table("db", "a").history().count() == 3
     # and the new generation's barrier reflects only the new stream ids
-    assert c.table("db", "b").latest_batch_id() == 3 * EventConsumer.MIXED_BATCH_STRIDE
+    assert (c.table("db", "b").latest_batch_id()
+            == 3 * EventConsumer.MIXED_BATCH_STRIDE)
 
     # idempotent full replay: a fresh pass over the same checkpoint is
     # all skips — state and history unchanged (no double generation bump)
@@ -121,23 +322,24 @@ def test_multi_table_drop_recreate_mid_stream(spark, tmp_path):
 
 
 def test_multi_table_standalone_create_joins_cached_topology(spark, tmp_path):
-    """tables=None: topology is discovered ONCE from the first batch and
-    then maintained by DDL — a standalone CREATE mid-stream must add the
-    new table to the cached fan-out (not wait for a re-discovery that
-    never happens), and a standalone DROP must remove it so later
+    """tables=None through the STREAM DRIVER: topology is discovered
+    once from the first batch, then a standalone CREATE mid-stream adds
+    the new table to the cached fan-out (not waiting for a re-discovery
+    that never happens) and a standalone DROP removes it so later
     batches don't fail on a missing table."""
-    c = _consumer(spark, tmp_path / "wh")
-    _create(c, tables=("a",))
+    c = _consumer(spark, tmp_path)
+    _create(c, ("a",))
     cp = str(tmp_path / "cp")
-    b0 = _rows(spark, [("INSERT", 1, 1, 1.0, None, "db", "a")])
+    mk = lambda rows: _dml(spark, rows).drop(C.DDL_PAYLOAD)  # noqa: E731
+    b0 = mk([("INSERT", 1, 1, 1.0, None, None, "db", "a")])
     create = DDLEvent(DDLOp.CREATE_TABLE, "db", "fresh", schema=SRC,
                       primary_keys=["user_id"], sequence_num=2)
-    b1 = _rows(spark, [
-        ("INSERT", 3, 2, 2.0, None, "db", "a"),
-        ("INSERT", 4, 100, 100.0, None, "db", "fresh"),
+    b1 = mk([
+        ("INSERT", 3, 2, 2.0, None, None, "db", "a"),
+        ("INSERT", 4, 100, 100.0, None, None, "db", "fresh"),
     ])
     drop = DDLEvent(DDLOp.DROP_TABLE, "db", "fresh", sequence_num=5)
-    b2 = _rows(spark, [("INSERT", 6, 3, 3.0, None, "db", "a")])
+    b2 = mk([("INSERT", 6, 3, 3.0, None, None, "db", "a")])
     run_mixed_stream_multi(
         c, [("dml", b0), ("ddl", create), ("dml", b1), ("ddl", drop), ("dml", b2)],
         cp, tables=None,
@@ -145,3 +347,63 @@ def test_multi_table_standalone_create_joins_cached_topology(spark, tmp_path):
     assert c.topology_discoveries == 1  # one cold-start scan, then DDL-maintained
     assert _state(c, "db", "a") == {1: 1.0, 2: 2.0, 3: 3.0}
     assert not c.table_exists("db", "fresh")
+
+
+def test_connected_components_basic(spark):
+    """Chain, clique, and separate pair resolve to min-id components in
+    a bounded number of one-shuffle rounds; vertices outside the pair
+    graph never appear (singletons are not clusters)."""
+    from bigquery_delta_plugins_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iter is a hard rail, not a silent truncation: a path graph
+    deeper than the round budget raises instead of returning partial
+    components."""
+    import pytest
+
+    from bigquery_delta_plugins_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C near-dups land in ONE cluster even when the A/C pair
+    itself never surfaced — the transitive-closure property that makes
+    cluster-level dedup stronger than pairwise deletion."""
+    from bigquery_delta_plugins_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one"),
+            (2, base + " one more"),
+            (3, base + " one more word"),
+            (4, "completely different content about spark shuffles at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = near_dup_clusters(docs, "doc_id", "text", threshold=0.4).collect()
+    got = {(r["doc_id"], r["cluster_id"], r["cluster_size"]) for r in rows}
+    assert {r["doc_id"] for r in rows} >= {1, 2, 3}
+    assert 4 not in {r["doc_id"] for r in rows}
+    assert got >= {(1, 1, 3), (2, 1, 3), (3, 1, 3)}
