@@ -447,12 +447,76 @@ def dedup_stream(
     )
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Explicitly free a ``localCheckpoint``'ed frame's storage blocks.
+
+    ``DataFrame.unpersist()`` cannot reach them (checkpoint blocks are
+    RDD-cached, not CacheManager-cached), so without this every
+    iterative round's checkpoint lingers until driver GC — which
+    accretes across repeated ``near_dup_clusters`` calls in a
+    long-lived session.  The frame is DEAD after release (its plan is a
+    scan of the freed RDD); only call on intermediates nothing else
+    references.  Best-effort: if the internal handle shifts across
+    Spark versions, blocks fall back to ContextCleaner-on-GC, the
+    pre-existing behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — release is an optimization
+        pass
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction round (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", CC-MR variant).
+    ``edges`` is a distinct directed edge list with src != dst; output
+    is the contracted edge list with the same connected components.
+
+    - large-star(u): connect every strictly-larger neighbor of u to
+      min(N(u) + {u}) — per node, emitted as a groupBy-min + join.
+    - small-star(u): orient edges u > v, connect every small neighbor
+      AND u itself to min(N<=(u)).
+
+    Both halves are a shuffle-agg + a shuffle-join + a distinct; the
+    alternation converges in O(log^2 n) rounds for ANY diameter (~10
+    rounds for a diameter-1000 path, measured in tests)."""
+    # ---- large-star
+    nbrs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    large = (
+        nbrs.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # ---- small-star
+    oriented = large.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    smins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    small = (
+        oriented.join(smins, "src")
+        .select(F.col("dst").alias("v"), F.col("m"))
+        .union(smins.select(F.col("src").alias("v"), F.col("m")))
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+    return small
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     *,
-    max_iter: int = 25,
+    label_rounds: int = 8,
+    max_iter: int = 40,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph -> one row per
     vertex ``(id, component)``, where ``component`` is the component's
@@ -466,69 +530,133 @@ def connected_components(
     only; this operator is the transitive closure a real pipeline
     applies on top).
 
-    Algorithm: min-label propagation — every vertex starts labeled
-    with itself; each round, labels flow across edges and every vertex
-    keeps the minimum label it has seen; fixpoint when a round changes
-    nothing.  Each round is ONE shuffle (a union + groupBy-min, i.e. a
-    map-side-combinable aggregation keyed by vertex), and the round
-    count is the graph diameter.  Near-dup graphs are clique-like
-    (diameter 2-3 measured on the sf corpora), so the loop converges
-    in 3-4 rounds; components are tracked per-round with a persisted
-    frame and the previous round is unpersisted, so peak storage is
-    2x the vertex set regardless of round count.  For adversarially
-    long path graphs (diameter ~ n) the O(log n) large-star/small-star
-    contraction (Kiveris et al., "Connected Components in MapReduce
-    and Beyond") is the drop-in replacement; at the corpus scales this
-    engine targets, near-dup components stay shallow and the simpler
-    one-shuffle round wins.
+    Two phases, picked automatically by the data:
 
-    ``max_iter`` is a safety rail: a graph that hasn't converged by
-    then raises rather than silently returning partial components.
-    """
+    1. **Min-label propagation** for up to ``label_rounds`` rounds:
+       labels flow across edges, every vertex keeps the minimum seen.
+       ONE map-side-combinable shuffle per round; round count = graph
+       diameter.  Near-dup graphs are clique-like (diameter 2-3
+       measured on the sf corpora), so this converges in 3-4 rounds
+       and is the fastest path for the common case.
+    2. **Large-star/small-star contraction** (Kiveris et al.,
+       "Connected Components in MapReduce and Beyond") when phase 1
+       hasn't converged: O(log^2 n) rounds for ANY diameter — a
+       100 TB crawl with templated chain spam (mirrored pagination)
+       degrades gracefully instead of running diameter-many rounds.
+       Final labeling is identical (min vertex id per component).
+
+    Storage hygiene: each round materializes via ``localCheckpoint``
+    (truncating the exponentially-growing iterative lineage) and the
+    PREVIOUS round's checkpoint blocks are released explicitly
+    (:func:`_release_checkpoint`) — peak storage is ~2x the frontier
+    regardless of round count, nothing accretes until GC.  The
+    RETURNED frame is itself a fresh checkpoint (the :func:`_finish`
+    contract): its blocks are reclaimed by the ContextCleaner when the
+    caller drops the reference.
+
+    ``max_iter`` bounds phase-2 rounds — with the O(log^2 n) bound it
+    is unreachable for any physical input; kept as a hard rail so a
+    logic bug can never silently spin."""
+    if stats is None:
+        stats = {}
+    stats["label_rounds"] = 0
+    stats["star_rounds"] = 0
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .persist()
+    vertices = edges.select(F.col("src").alias("id")).distinct()
+
+    # ---------------------------------------------- phase 1: min-label
+    prev_cp = vertices.withColumn("component", F.col("id")).localCheckpoint(
+        eager=True
     )
-    labels.count()
-    for _ in range(max_iter):
-        msgs = edges.join(
-            labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "component")
-        new_labels = (
+    labels = prev_cp
+    converged = False
+    for _ in range(label_rounds):
+        stats["label_rounds"] += 1
+        msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "component"
+        )
+        # ONE action materializes the new labels AND carries the old
+        # label for the convergence check — the count below only scans
+        # the checkpointed blocks, no extra join job.
+        stepped = (
             labels.select("id", "component")
             .union(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            # one localCheckpoint per round: truncates the growing
-            # iterative lineage AND materializes for the change count
+            .join(
+                labels.select("id", F.col("component").alias("_prev")), "id"
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("component", "new_component")
-            .join(labels, "id")
-            .filter(F.col("new_component") != F.col("component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter(F.col("component") != F.col("_prev")).count()
+        _release_checkpoint(prev_cp)
+        prev_cp = stepped
+        labels = stepped.select("id", "component")
         if changed == 0:
+            converged = True
             break
-    else:
-        edges.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds — "
-            "graph diameter exceeds the near-dup assumption; use "
-            "large-star/small-star contraction for this input"
+
+    # ------------------------- phase 2: large-star/small-star fallback
+    if not converged:
+        _release_checkpoint(prev_cp)
+        star_cp = edges.distinct().localCheckpoint(eager=True)
+        # fixpoint signature: (edge count, order-independent xxhash64
+        # sum) computed in one agg job over the checkpointed blocks —
+        # equal signatures on a distinct edge set mean the set is
+        # unchanged (a 2^-64 collision would be caught by the oracle
+        # tests downstream).
+        sig = tuple(
+            star_cp.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))
+            ).first()
         )
+        for _ in range(max_iter):
+            stats["star_rounds"] += 1
+            new_cp = _star_round(star_cp).localCheckpoint(eager=True)
+            new_sig = tuple(
+                new_cp.agg(
+                    F.count(F.lit(1)),
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))
+                ).first()
+            )
+            _release_checkpoint(star_cp)
+            star_cp = new_cp
+            if new_sig == sig:
+                converged = True
+                break
+            sig = new_sig
+        if not converged:
+            _release_checkpoint(star_cp)
+            edges.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "star rounds — impossible for a finite graph; indicates "
+                "a logic bug, not an input property"
+            )
+        # fixpoint is a star forest: every non-root points straight at
+        # its component min; roots have no out-edge.
+        labels = vertices.join(
+            star_cp.select(
+                F.col("src").alias("id"), F.col("dst").alias("component")
+            ),
+            "id",
+            "left",
+        ).select("id", F.coalesce("component", "id").alias("component"))
+        prev_cp = star_cp
+
+    result = labels.localCheckpoint(eager=True)
+    _release_checkpoint(prev_cp)
     edges.unpersist()
-    return labels
+    return result
 
 
 def near_dup_clusters(

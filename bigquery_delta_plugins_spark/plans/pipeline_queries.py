@@ -11,7 +11,7 @@ as index-ordered left folds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -258,6 +258,53 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MINHASH_NUM,
         bands=MINHASH_BANDS,
         threshold=JACCARD_THRESHOLD,
+    )
+
+
+def dedup_cluster_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial-shape cluster formation (operators/dedup.py::
+    connected_components): a diameter-300 chain (templated chain spam /
+    mirrored pagination — the shape min-label propagation alone would
+    grind on), a 200-member clique (10,000+doc_id, 19,900 edges), and a
+    1001-member hub-star (hub 20,000) — in ONE pair graph, so the query
+    exercises the large-star/small-star contraction fallback AND big
+    flat clusters end-to-end against a recursive-CTE oracle.  The graph
+    is synthesized deterministically from doc_ids (fixed caps, so the
+    shape — not the corpus size — is what's under test)."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    chain = ids.filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    cl = ids.filter(F.col("doc_id") < 200)
+    clique = (
+        cl.alias("a")
+        .join(cl.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            (F.col("a.doc_id") + 10000).alias("id_a"),
+            (F.col("b.doc_id") + 10000).alias("id_b"),
+        )
+    )
+    leaves = ids.filter(F.col("doc_id") < 500)
+    star = leaves.select(
+        F.lit(20000).cast("long").alias("id_a"),
+        (F.col("doc_id") + 20001).alias("id_b"),
+    ).union(
+        leaves.select(
+            F.lit(20000).cast("long").alias("id_a"),
+            (F.col("doc_id") + 21001).alias("id_b"),
+        )
+    )
+    pairs = chain.union(clique).union(star)
+    # label_rounds=2: this graph is KNOWN deep — don't burn the default
+    # 8 propagation rounds before the contraction takes over (the
+    # default is tuned for the clique-like shape dedup_cluster_assign
+    # covers; production callers keep it).
+    comp = DD.connected_components(pairs, label_rounds=2)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
 
 
@@ -900,6 +947,40 @@ SELECT doc_id, cluster_id,
 FROM comp"""
 
 
+def _sql_dedup_cluster_deep() -> str:
+    # Same synthesized pair graph as dedup_cluster_deep; transitive
+    # closure as a recursive CTE.  The WHERE r.component < e.dst prune
+    # is exact for MIN-reachability: a label larger than the receiving
+    # node can never beat the node's own seed, and the true component
+    # min (smaller than every member) is never pruned on any path.
+    return """WITH RECURSIVE
+chain AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b
+          FROM documents WHERE doc_id < 300),
+clq AS (SELECT a.doc_id + 10000 AS id_a, b.doc_id + 10000 AS id_b
+        FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 200 AND b.doc_id < 200),
+star AS (SELECT CAST(20000 AS BIGINT) AS id_a, doc_id + 20001 AS id_b
+         FROM documents WHERE doc_id < 500
+         UNION ALL
+         SELECT CAST(20000 AS BIGINT), doc_id + 21001
+         FROM documents WHERE doc_id < 500),
+pairs AS (SELECT * FROM chain UNION ALL SELECT * FROM clq
+          UNION ALL SELECT * FROM star),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, component) AS (
+    SELECT src, src FROM edges
+  UNION
+    SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.id
+    WHERE r.component < e.dst),
+comp AS (SELECT id AS doc_id, min(component) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp"""
+
+
 def _sql_dedup_simhash() -> str:
     # fingerprint over SHINGLES, exactly like the Spark plan (unigram
     # simhash mega-clusters on shared-vocabulary corpora)
@@ -1359,6 +1440,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_assign": dedup_cluster_assign,
+    "dedup_cluster_deep": dedup_cluster_deep,
     "dedup_simhash": dedup_simhash,
     "embed_cosine_neardup": embed_cosine_neardup,
     "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -1394,6 +1476,7 @@ def oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": _sql_dedup_jaccard(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_cluster_assign": _sql_dedup_cluster(),
+        "dedup_cluster_deep": _sql_dedup_cluster_deep(),
         "dedup_simhash": _sql_dedup_simhash(),
         "embed_cosine_neardup": _sql_embed_neardup(),
         "ann_topk_bruteforce": _sql_ann_bruteforce(),

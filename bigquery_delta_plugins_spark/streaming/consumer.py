@@ -24,6 +24,7 @@ rule's lineage requirement.
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,10 +74,16 @@ class EventConsumer:
     ):
         self.spark = spark
         self.warehouse = warehouse
-        # Cold-start topology discovery cache (tables=None): one
-        # distinct-scan job per consumer lifetime, DDL-maintained.
-        # topology_discoveries counts discovery jobs for tests/audits.
+        # Known-topology set for the tables=None bootstrap path:
+        # DDL-maintained and batch-merged, NEVER the routing source on
+        # its own (a table first appearing mid-stream without a
+        # CREATE_TABLE would silently lose rows — each batch routes by
+        # its own observed (db, table) set).  topology_discoveries
+        # counts NOVEL discoveries (cold start + late-appearing tables)
+        # for tests/audits.  Mutated from DDL on thread-pool workers in
+        # mixed multi-table batches, hence the lock.
         self._topology_cache: list[tuple[str, str]] | None = None
+        self._topology_lock = threading.Lock()
         self.topology_discoveries = 0
         self.source = source or SourceProperties()
         self.soft_deletes = soft_deletes
@@ -196,51 +203,74 @@ class EventConsumer:
         self._maintain_topology_cache(event)
 
     def _maintain_topology_cache(self, event: DDLEvent) -> None:
-        """Keep the discovered-topology cache consistent with applied
-        DDL: tables born mid-stream join the fan-out, dropped tables
-        leave it (a stale entry would fail every subsequent batch)."""
+        """Keep the known-topology set consistent with applied DDL:
+        tables born mid-stream join the fan-out, dropped tables leave
+        it (a stale entry would fail every subsequent batch).  Called
+        from thread-pool workers in mixed multi-table batches, so the
+        read-copy-replace runs under the topology lock — concurrent
+        CREATE/DROP for different tables must not lose updates."""
         if self._topology_cache is None:
             return
-        cache = set(self._topology_cache)
-        if event.op == DDLOp.CREATE_TABLE:
-            cache.add((event.database, event.table))
-        elif event.op == DDLOp.DROP_TABLE:
-            cache.discard((event.database, event.table))
-        elif event.op == DDLOp.DROP_DATABASE:
-            cache = {(d, t) for d, t in cache if d != event.database}
-        self._topology_cache = sorted(cache)
+        with self._topology_lock:
+            if self._topology_cache is None:  # raced with a reset
+                return
+            cache = set(self._topology_cache)
+            if event.op == DDLOp.CREATE_TABLE:
+                cache.add((event.database, event.table))
+            elif event.op == DDLOp.DROP_TABLE:
+                cache.discard((event.database, event.table))
+            elif event.op == DDLOp.DROP_DATABASE:
+                cache = {(d, t) for d, t in cache if d != event.database}
+            self._topology_cache = sorted(cache)
 
     def _discover_topology(
         self, batch_df: DataFrame, database_col: str, table_col: str
     ) -> list[tuple[str, str]]:
-        """Cold-start topology discovery, cached for the consumer's
-        lifetime: ``tables=None`` runs ONE distinct-scan job on the
-        first batch and reuses the result for every later batch — in
-        steady state the driver should declare its topology; discovery
-        is a bootstrap convenience, and each run is logged so per-batch
-        discovery regressions are visible.  DDL applied through this
-        consumer keeps the cache consistent (tables created mid-stream
-        join the fan-out, dropped ones leave).  NOTE: a table that first
-        appears in a LATER batch without a CREATE_TABLE event is not
-        discovered — declare ``tables`` explicitly for that shape."""
-        if self._topology_cache is None:
-            import logging
+        """Per-batch topology of a ``tables=None`` stream: route by the
+        (database, table) pairs ACTUALLY PRESENT in this batch — one
+        2-column distinct-scan job per batch.  The known-topology set
+        is maintained alongside (cold-start + DDL + batch merges) for
+        observability, but it is never trusted as the routing source: a
+        table that first appears in a later micro-batch without a
+        CREATE_TABLE event (pre-existing quiet table, consumer restart)
+        MUST still route, or its rows are silently dropped by the
+        fan-out filter.  ``topology_discoveries`` counts novel
+        discoveries (cold start, late-appearing tables) so steady-state
+        streams show exactly one; declare ``tables=[...]`` explicitly
+        to skip the per-batch scan entirely."""
+        import logging
 
-            self.topology_discoveries += 1
-            self._topology_cache = sorted(
-                (r["d"], r["t"])
-                for r in batch_df.select(
-                    F.col(database_col).alias("d"), F.col(table_col).alias("t")
+        present = sorted(
+            (r["d"], r["t"])
+            for r in batch_df.select(
+                F.col(database_col).alias("d"), F.col(table_col).alias("t")
+            )
+            .distinct()
+            .collect()
+        )
+        with self._topology_lock:
+            if self._topology_cache is None:
+                self.topology_discoveries += 1
+                self._topology_cache = list(present)
+                logging.getLogger(__name__).warning(
+                    "multi-table topology discovered from batch data "
+                    "(%d tables); declare tables=[...] for steady-state "
+                    "streams to skip the per-batch discovery scan",
+                    len(present),
                 )
-                .distinct()
-                .collect()
-            )
-            logging.getLogger(__name__).warning(
-                "multi-table topology discovered from batch data (%d tables); "
-                "declare tables=[...] for steady-state streams",
-                len(self._topology_cache),
-            )
-        return list(self._topology_cache)
+            else:
+                unseen = sorted(set(present) - set(self._topology_cache))
+                if unseen:
+                    self.topology_discoveries += 1
+                    self._topology_cache = sorted(
+                        set(self._topology_cache) | set(unseen)
+                    )
+                    logging.getLogger(__name__).warning(
+                        "tables first appearing mid-stream without a "
+                        "CREATE_TABLE event joined the fan-out: %s",
+                        unseen,
+                    )
+        return present
 
     def _apply_ddl_once(self, event: DDLEvent) -> None:
         """One DDL apply attempt (handleDDL,

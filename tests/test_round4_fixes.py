@@ -17,9 +17,6 @@
 - DDLEvent JSON wire round trip.
 - topology cache: discovery once per consumer lifetime; standalone
   CREATE/DROP maintain the cached fan-out through the stream driver.
-- near-dup cluster formation: connected components over the pair
-  graph (chain/clique/min-label correctness, non-convergence rail,
-  A~B~C transitivity through near_dup_clusters).
 """
 
 import os
@@ -349,61 +346,27 @@ def test_multi_table_standalone_create_joins_cached_topology(spark, tmp_path):
     assert not c.table_exists("db", "fresh")
 
 
-def test_connected_components_basic(spark):
-    """Chain, clique, and separate pair resolve to min-id components in
-    a bounded number of one-shuffle rounds; vertices outside the pair
-    graph never appear (singletons are not clusters)."""
-    from bigquery_delta_plugins_spark.operators.dedup import connected_components
-
-    pairs = spark.createDataFrame(
-        # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
-        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
-        "id_a long, id_b long",
+def test_late_appearing_table_without_create_is_routed(spark, tmp_path):
+    """tables=None: a pre-existing quiet table whose rows first appear
+    in a LATER micro-batch with NO CREATE_TABLE event in-stream (e.g. a
+    consumer restart over an established lake) must still receive its
+    rows — the known-topology set is observability, never the routing
+    source.  Round-4's lifetime-cached discovery silently dropped these
+    rows (the fan-out filter routed only first-batch tables)."""
+    c = _consumer(spark, tmp_path)
+    _create(c, ("a", "b"))  # both tables exist in the lake
+    mk = lambda rows: _dml(spark, rows).drop(C.DDL_PAYLOAD)  # noqa: E731
+    # batch 0 only carries table a -> cold-start discovery sees only a
+    c.apply_multi_table_batch(
+        mk([("INSERT", 1, 1, 1.0, None, None, "db", "a")]), 0
     )
-    got = {
-        (r["id"], r["component"])
-        for r in connected_components(pairs).collect()
+    # batch 1 carries b for the first time, with no CREATE event
+    ms = c.apply_multi_table_batch(mk([
+        ("INSERT", 2, 2, 2.0, None, None, "db", "a"),
+        ("INSERT", 3, 9, 9.0, None, None, "db", "b"),
+    ]), 1)
+    assert {(m["database"], m["table_name"]) for m in ms} == {
+        ("db", "a"), ("db", "b")
     }
-    assert got == {
-        (1, 1), (2, 1), (3, 1), (4, 1),
-        (10, 10), (11, 10), (12, 10),
-        (20, 20), (21, 20),
-    }
-
-
-def test_connected_components_nonconvergence_raises(spark):
-    """max_iter is a hard rail, not a silent truncation: a path graph
-    deeper than the round budget raises instead of returning partial
-    components."""
-    import pytest
-
-    from bigquery_delta_plugins_spark.operators.dedup import connected_components
-
-    chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
-    )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
-
-
-def test_near_dup_clusters_transitive(spark):
-    """A~B and B~C near-dups land in ONE cluster even when the A/C pair
-    itself never surfaced — the transitive-closure property that makes
-    cluster-level dedup stronger than pairwise deletion."""
-    from bigquery_delta_plugins_spark.operators.dedup import near_dup_clusters
-
-    base = "the quick brown fox jumps over the lazy dog again and again"
-    docs = spark.createDataFrame(
-        [
-            (1, base + " one"),
-            (2, base + " one more"),
-            (3, base + " one more word"),
-            (4, "completely different content about spark shuffles at scale"),
-        ],
-        "doc_id long, text string",
-    )
-    rows = near_dup_clusters(docs, "doc_id", "text", threshold=0.4).collect()
-    got = {(r["doc_id"], r["cluster_id"], r["cluster_size"]) for r in rows}
-    assert {r["doc_id"] for r in rows} >= {1, 2, 3}
-    assert 4 not in {r["doc_id"] for r in rows}
-    assert got >= {(1, 1, 3), (2, 1, 3), (3, 1, 3)}
+    assert {r["user_id"] for r in c.table("db", "b").read().collect()} == {9}
+    assert c.topology_discoveries == 2  # cold start + the late table
