@@ -1,0 +1,75 @@
+"""Arrow-vectorized cosine kernels must be BIT-IDENTICAL to the JVM
+reference fold (operators/similarity.py): the driver's DuckDB oracles
+hash the index-ordered left fold, so any reassociation in the fast path
+would break the correctness gate.  Pins dot, norm, sign-LSH bucket
+assignment, and IVF centroid dots on randomized mixed-magnitude
+float32 vectors."""
+
+import struct
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+import bigquery_delta_plugins_spark.operators.similarity as SIM
+
+DIM = 64
+
+
+def _vectors(spark, n=300, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        # mixed magnitudes stress non-associativity; a few exact zeros
+        v = rng.standard_normal(DIM) * 10.0 ** rng.integers(-6, 6, DIM)
+        v[rng.integers(0, DIM, 3)] = 0.0
+        rows.append((i, [float(np.float32(x)) for x in v]))
+    return spark.createDataFrame(rows, "id long, v array<float>")
+
+
+def _bits(x):
+    return struct.pack("<d", x)
+
+
+def test_vec_dot_and_norm_bitwise_match_jvm(spark):
+    df = _vectors(spark).withColumn("w", F.reverse("v"))
+    got = df.select(
+        "id",
+        SIM.dot(F.col("v"), F.col("w")).alias("jd"),
+        SIM.vec_dot(F.col("v"), F.col("w")).alias("vd"),
+        SIM.norm(F.col("v")).alias("jn"),
+        SIM.vec_norm(F.col("v")).alias("vn"),
+    ).collect()
+    assert all(_bits(r["jd"]) == _bits(r["vd"]) for r in got)
+    assert all(_bits(r["jn"]) == _bits(r["vn"]) for r in got)
+
+
+def test_vec_bucket_array_matches_jvm(spark):
+    df = _vectors(spark, n=200, seed=6)
+    got = df.select(
+        "id",
+        SIM._bucket_array("`v`", 3, DIM, 4).alias("jb"),
+        SIM.vec_bucket_array(F.col("v"), 3, DIM, 4).alias("vb"),
+    ).collect()
+    assert all(list(r["jb"]) == list(r["vb"]) for r in got)
+
+
+def test_vec_centroid_dots_bitwise_match_jvm(spark):
+    signs = SIM.plane_signs(8, DIM)
+    jvm = F.expr(
+        "array("
+        + ",".join(
+            SIM._dot_sql(SIM._sign_row_sql(row), "`v`") for row in signs
+        )
+        + ")"
+    )
+    df = _vectors(spark, n=200, seed=7)
+    got = df.select(
+        "id",
+        jvm.alias("jd"),
+        SIM.vec_centroid_dots(F.col("v"), signs).alias("vd"),
+    ).collect()
+    for r in got:
+        assert all(
+            _bits(a) == _bits(b) for a, b in zip(r["jd"], r["vd"])
+        )
