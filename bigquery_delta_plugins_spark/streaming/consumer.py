@@ -44,6 +44,14 @@ from ..retry import PermanentFailure, run_with_retry
 from ..types import DDLEvent, DDLOp, SourceProperties
 
 
+def _phase_mark(phases: dict, name: str, since: float) -> float:
+    """Record a phase duration and return the new timestamp (the
+    chainable form of ``EventConsumer._mark_phase``)."""
+    now = time.monotonic()
+    phases[name] = round(now - since, 3)
+    return now
+
+
 class EventConsumer:
     def __init__(
         self,
@@ -633,6 +641,7 @@ class EventConsumer:
         diff = diff.persist()
         try:
             tp = time.monotonic()
+            phases["pre"] = round(tp - t0, 3)
             if src.ordering == C.UN_ORDERED and src.sort_key_types:
                 self._ensure_sort_key_column(table, src)
             target = table.read()
@@ -647,10 +656,14 @@ class EventConsumer:
                 strategy=self.single_job_merge_strategy,
                 unique_key_target=self.assume_unique_keys,
             )
+            self._mark_phase(phases, "plan", tp)
+
             def write_and_commit():
+                tw = time.monotonic()
                 new_files = table._write_data_files(
                     new_rows, table.schema, repartition=table.WRITE_REPARTITION
                 )
+                tw = _phase_mark(phases, "write", tw)
                 max_seq = parquet_files_max_long(
                     [os.path.join(table.path, f["path"]) for f in new_files],
                     C.SEQUENCE_NUM,
@@ -661,14 +674,18 @@ class EventConsumer:
                         *[os.path.join(table.path, f["path"]) for f in new_files]
                     ).agg(F.max(C.SEQUENCE_NUM)).first() if new_files else None
                     max_seq = (row[0] if row else None) or last_merged
+                tw = _phase_mark(phases, "footers", tw)
                 # observed diff max — covers trailing hard-DELETE winners
                 # the footers can't see (materialized by the write job)
                 obs_max = obs.get.get("max_seq")
                 if obs_max is not None:
                     max_seq = max(max_seq or 0, obs_max)
-                return table.commit_overwrite(
+                tw = _phase_mark(phases, "observe", tw)
+                out = table.commit_overwrite(
                     new_files, set(range(nb)), batch_id, max_seq
                 )
+                _phase_mark(phases, "commit", tw)
+                return out
 
             # one retried unit: a transient fault anywhere in write /
             # footer read / manifest commit re-runs the idempotent job
