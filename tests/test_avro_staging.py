@@ -1,0 +1,104 @@
+"""Avro Object Container staging codec (O2): pure-Python encode/decode
+against the public Avro spec, plus the distributed Spark surfaces
+(mapInArrow writer: one container file per partition; binaryFile +
+mapInArrow reader).  Mirrors the JSON codec's roundtrip contract
+(test_json_staging.py)."""
+
+import datetime
+
+from pyspark.sql import types as T
+
+from bigquery_delta_plugins_spark.sources.avro_staging import (
+    avro_schema,
+    decode_container,
+    encode_container,
+    read_staged_avro,
+    write_staged_avro,
+)
+
+FLAT = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("ratio", T.DoubleType(), True),
+        T.StructField("flag", T.BooleanType(), True),
+        T.StructField("html", T.BinaryType(), True),
+    ]
+)
+
+ROWS = [
+    ("INSERT", 1, 7, 0.5, True, b"\x00\xffhtml"),
+    ("DELETE", 2, None, None, None, None),
+    # full-range long: would corrupt through a float64 (pandas) path
+    ("UPDATE", 3, (1 << 62) + 12345, -1.25e300, False, b""),
+    ("INSERT", 4, -5, float("inf"), True, b"\x80" * 17),
+]
+
+
+def test_container_roundtrip_pure_python():
+    data = encode_container(ROWS, FLAT)
+    assert data[:4] == b"Obj\x01"
+    assert decode_container(data, FLAT) == ROWS
+
+
+def test_container_deterministic_and_empty():
+    assert encode_container(ROWS, FLAT) == encode_container(ROWS, FLAT)
+    empty = encode_container([], FLAT)
+    assert decode_container(empty, FLAT) == []
+
+
+def test_avro_schema_shape():
+    s = avro_schema(FLAT)
+    assert s["type"] == "record"
+    assert [f["name"] for f in s["fields"]] == [f.name for f in FLAT.fields]
+    assert s["fields"][0]["type"] == "string"  # non-null
+    assert s["fields"][2]["type"] == ["null", "long"]  # nullable union
+
+
+def test_schema_mismatch_raises():
+    import pytest
+
+    other = T.StructType([T.StructField("x", T.LongType())])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        decode_container(encode_container(ROWS, FLAT), other)
+
+
+def test_staged_events_avro_roundtrip_exact(spark, tmp_path):
+    """The full staged-event shape (strings, longs, binary payloads,
+    null _before_* keys) survives encode -> container files -> decode
+    with zero row diffs — the Avro twin of the JSON roundtrip."""
+    from bigquery_delta_plugins_spark.sources.gen import synth_events
+
+    ev = synth_events(spark, 2000, 100, pk_move_frac=0.05)
+    path = str(tmp_path / "staged-avro")
+    n_files = write_staged_avro(ev, path)
+    assert n_files >= 1
+    back = read_staged_avro(spark, path, ev.schema)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in ev.schema.fields
+    ]
+    assert ev.exceptAll(back).count() == 0
+    assert back.exceptAll(ev).count() == 0
+
+
+def test_timestamps_roundtrip_micros_exact(spark, tmp_path):
+    """Both timestamp flavors ride as int64 micros logical longs and
+    come back to the microsecond."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("ts", T.TimestampNTZType(), True),
+        ]
+    )
+    rows = [
+        (1, datetime.datetime(2026, 8, 17, 12, 0, 0, 123456)),
+        (2, None),
+        (3, datetime.datetime(1969, 12, 31, 23, 59, 59, 999999)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "ts-avro")
+    write_staged_avro(df, path)
+    back = read_staged_avro(spark, path, schema)
+    got = {r["id"]: r["ts"] for r in back.collect()}
+    assert got == {i: ts for i, ts in rows}

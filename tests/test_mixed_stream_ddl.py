@@ -1,26 +1,14 @@
-"""Round-4 fixes, each pinned by a regression test:
-
-- mixed DML+DDL through the Structured Streaming front-end: DDL rides
-  INLINE in the streamed parquet (``_op='DDL'`` control rows carrying a
-  serialized DDLEvent in ``_ddl``), and ``run_structured_stream``
-  force-flushes around each DDL's sequence point — the production shape
-  of the reference consumer (BigQueryEventConsumer.java:297-335,433,
-  457,499), previously reachable only through the deterministic loop.
-- uniform STRIDE id space across triggers when the stream schema
-  carries ``_ddl`` (a DDL-free trigger after a DDL-carrying one must
-  not be skipped as replay).
-- DROP + re-CREATE (generation bump) for one table mid-multi-table
-  stream (reference truncate/drop sequences,
-  BigQueryEventConsumerTest.java:511-526,788-885) — both interleaved
-  inside a DML item and as STANDALONE control events with checkpoint
-  resume across the DDL boundary and an independent-replay oracle.
-- DDLEvent JSON wire round trip.
-- topology cache: discovery once per consumer lifetime; standalone
-  CREATE/DROP maintain the cached fan-out through the stream driver.
-"""
+"""Mixed DML+DDL through the streaming front-ends, multi-table fan-out
+and topology routing: inline-DDL control rows force-flush around each
+sequence point (the reference consumer's production shape,
+BigQueryEventConsumer.java:297-335,433,457,499); strided lake batch
+ids stay monotone across triggers; DROP + re-CREATE bumps exactly one
+generation with checkpoint resume across the DDL boundary; and
+tables=None streams route every batch by its OBSERVED tables — a quiet
+pre-existing table appearing mid-stream without a CREATE event must
+never lose rows."""
 
 import os
-import time as _time
 
 from pyspark.sql import types as T
 
@@ -28,6 +16,8 @@ from bigquery_delta_plugins_spark import constants as C
 from bigquery_delta_plugins_spark.streaming.consumer import EventConsumer
 from bigquery_delta_plugins_spark.streaming.driver import (
     ddl_marker_rows,
+    run_microbatch_loop_multi,
+    run_mixed_stream,
     run_mixed_stream_multi,
     run_structured_stream,
 )
@@ -38,53 +28,19 @@ from bigquery_delta_plugins_spark.types import (
     ddl_event_to_json,
 )
 
-SRC = T.StructType(
-    [
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("value", T.DoubleType(), True),
-    ]
+from cdc_helpers import (  # noqa: F401
+    MULTI,
+    SRC,
+    STAGING,
+    STREAM,
+    WIDE_SRC,
+    consumer,
+    create_tables,
+    dml,
+    ins,
+    multi_rows,
+    write_file,
 )
-
-WIDE_SRC = T.StructType(SRC.fields + [T.StructField("extra", T.StringType(), True)])
-
-# Stream schema: the post-evolution superset (a parquet file stream
-# reads one fixed schema; pre-ALTER rows carry NULL in late columns)
-# plus the inline-DDL control column.
-STREAM = T.StructType(
-    [
-        T.StructField(C.OPERATION, T.StringType(), True),
-        T.StructField(C.SEQUENCE_NUM, T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("extra", T.StringType(), True),
-        T.StructField("_before_user_id", T.LongType(), True),
-        T.StructField("_database", T.StringType(), True),
-        T.StructField("_table", T.StringType(), True),
-        T.StructField(C.DDL_PAYLOAD, T.StringType(), True),
-    ]
-)
-
-
-def _consumer(spark, tmp_path, **kw):
-    return EventConsumer(spark, os.path.join(str(tmp_path), "wh"), num_buckets=2, **kw)
-
-
-def _create(c, tables, schema=SRC):
-    for t in tables:
-        c.apply_ddl(
-            DDLEvent(DDLOp.CREATE_TABLE, "db", t, schema=schema,
-                     primary_keys=["user_id"])
-        )
-
-
-def _dml(spark, rows):
-    # rows: (op, seq, uid, val, extra, before, db, tb); _ddl always NULL
-    return spark.createDataFrame([r + (None,) for r in rows], STREAM)
-
-
-def _write_file(df, events_dir):
-    df.coalesce(1).write.mode("append").parquet(events_dir)
-    _time.sleep(1.05)  # distinct mtimes => deterministic file order
 
 
 def test_ddl_event_json_roundtrip():
@@ -100,32 +56,31 @@ def test_ddl_event_json_roundtrip():
     assert back.op == DDLOp.DROP_DATABASE and back.table is None
     assert back.schema is None and back.primary_keys == []
 
-
 def test_structured_stream_inline_ddl_multi_table(spark, tmp_path):
     """ALTER mid-stream through the PRODUCTION front-end: the DDL rides
     inline in the parquet event stream, `run_structured_stream` splits
     table a's DML at the ALTER's sequence point, and a DDL-free later
     trigger still applies (uniform STRIDE id space).  Table b never
     sees the new column."""
-    c = _consumer(spark, tmp_path)
-    _create(c, ("a", "b"))
+    c = consumer(spark, tmp_path)
+    create_tables(c, ("a", "b"))
     events_dir = str(tmp_path / "events")
     alter = DDLEvent(DDLOp.ALTER_TABLE, "db", "a", schema=WIDE_SRC,
                      primary_keys=["user_id"], sequence_num=5)
     # trigger 0: plain DML for both tables
-    _write_file(_dml(spark, [
+    write_file(dml(spark, [
         ("INSERT", 1, 1, 1.0, None, None, "db", "a"),
         ("INSERT", 2, 2, 2.0, None, None, "db", "b"),
     ]), events_dir)
     # trigger 1: pre-ALTER DML + inline ALTER + post-ALTER DML
-    batch1 = _dml(spark, [
+    batch1 = dml(spark, [
         ("INSERT", 3, 3, 3.0, None, None, "db", "a"),
         ("UPDATE", 6, 1, 10.0, "e6", 1, "db", "a"),
         ("INSERT", 7, 9, 9.0, None, None, "db", "b"),
     ]).unionByName(ddl_marker_rows(spark, STREAM, [alter]))
-    _write_file(batch1, events_dir)
+    write_file(batch1, events_dir)
     # trigger 2: DDL-free trigger after the DDL-carrying one
-    _write_file(_dml(spark, [
+    write_file(dml(spark, [
         ("INSERT", 8, 4, 4.0, "e8", None, "db", "a"),
     ]), events_dir)
 
@@ -154,7 +109,6 @@ def test_structured_stream_inline_ddl_multi_table(spark, tmp_path):
     )
     assert sorted(map(str, c.table("db", "a").read().collect())) == before
 
-
 def test_structured_stream_inline_ddl_single_table(spark, tmp_path):
     """Single-table stream with an inline ALTER: same force-flush
     semantics through `run_structured_stream` without (_database,
@@ -162,8 +116,8 @@ def test_structured_stream_inline_ddl_single_table(spark, tmp_path):
     single = T.StructType(
         [f for f in STREAM.fields if f.name not in ("_database", "_table")]
     )
-    c = _consumer(spark, tmp_path)
-    _create(c, ("t",))
+    c = consumer(spark, tmp_path)
+    create_tables(c, ("t",))
     events_dir = str(tmp_path / "events")
     alter = DDLEvent(DDLOp.ALTER_TABLE, "db", "t", schema=WIDE_SRC,
                      primary_keys=["user_id"], sequence_num=4)
@@ -184,15 +138,14 @@ def test_structured_stream_inline_ddl_single_table(spark, tmp_path):
            for r in c.table("db", "t").read().collect()}
     assert got == {1: (10.0, "x1"), 2: (2.0, None)}
 
-
-def test_topology_discovery_runs_once_per_consumer(spark, tmp_path):
+def test_topology_discovery_runs_once_perconsumer(spark, tmp_path):
     """tables=None is a cold-start convenience: ONE distinct-scan
     discovery job per consumer lifetime, reused across batches, and
     DDL applied through the consumer keeps the cached topology
     consistent (CREATE adds, DROP removes)."""
-    c = _consumer(spark, tmp_path)
-    _create(c, ("a", "b"))
-    mk = lambda rows: _dml(spark, rows).drop(C.DDL_PAYLOAD)  # noqa: E731
+    c = consumer(spark, tmp_path)
+    create_tables(c, ("a", "b"))
+    mk = lambda rows: dml(spark, rows).drop(C.DDL_PAYLOAD)  # noqa: E731
     for i in range(3):
         c.apply_multi_table_batch(mk([
             ("INSERT", 10 * i + 1, i, float(i), None, None, "db", "a"),
@@ -212,6 +165,112 @@ def test_topology_discovery_runs_once_per_consumer(spark, tmp_path):
         ("db", "a"), ("db", "c")
     }
 
+def test_late_appearing_table_without_create_is_routed(spark, tmp_path):
+    """tables=None: a pre-existing quiet table whose rows first appear
+    in a LATER micro-batch with NO CREATE_TABLE event in-stream (e.g. a
+    consumer restart over an established lake) must still receive its
+    rows — the known-topology set is observability, never the routing
+    source.  Round-4's lifetime-cached discovery silently dropped these
+    rows (the fan-out filter routed only first-batch tables)."""
+    c = consumer(spark, tmp_path)
+    create_tables(c, ("a", "b"))  # both tables exist in the lake
+    mk = lambda rows: dml(spark, rows).drop(C.DDL_PAYLOAD)  # noqa: E731
+    # batch 0 only carries table a -> cold-start discovery sees only a
+    c.apply_multi_table_batch(
+        mk([("INSERT", 1, 1, 1.0, None, None, "db", "a")]), 0
+    )
+    # batch 1 carries b for the first time, with no CREATE event
+    ms = c.apply_multi_table_batch(mk([
+        ("INSERT", 2, 2, 2.0, None, None, "db", "a"),
+        ("INSERT", 3, 9, 9.0, None, None, "db", "b"),
+    ]), 1)
+    assert {(m["database"], m["table_name"]) for m in ms} == {
+        ("db", "a"), ("db", "b")
+    }
+    assert {r["user_id"] for r in c.table("db", "b").read().collect()} == {9}
+    assert c.topology_discoveries == 2  # cold start + the late table
+
+def test_mixed_stream_plain_dml_after_mixed_item(spark, tmp_path):
+    """Round-2 latent bug: a plain ("dml", df) item AFTER a DDL-carrying
+    item was keyed by bare idx, compared against the strided lake batch
+    id, and silently skipped as replay — losing its rows."""
+    c = consumer(spark, tmp_path)
+    create_tables(c)
+    wide = T.StructType(SRC.fields + [T.StructField("extra", T.StringType(), True)])
+    alter = DDLEvent(DDLOp.ALTER_TABLE, "db", "t", schema=wide,
+                     primary_keys=["user_id"], sequence_num=3)
+    staging_x = T.StructType(
+        STAGING.fields[:4]
+        + [T.StructField("extra", T.StringType(), True)]
+        + STAGING.fields[4:]
+    )
+    d0 = ins(spark, [("INSERT", 1, 1, 1.0, None), ("INSERT", 2, 2, 2.0, None)])
+    # post-ALTER events carry the evolved column
+    d1 = spark.createDataFrame(
+        [("INSERT", 4, 7, 7.0, "x7", None), ("UPDATE", 5, 1, 10.0, "x1", 1)],
+        staging_x,
+    )
+    items = [("dml", d0, [alter]), ("dml", d1)]
+    run_mixed_stream(c, items, "db", "t", str(tmp_path / "cp"))
+    got = {r["user_id"]: (r["value"], r["extra"])
+           for r in c.table("db", "t").read().collect()}
+    assert got == {1: (10.0, "x1"), 2: (2.0, None), 7: (7.0, "x7")}
+
+def test_multi_table_mixed_alter_mid_stream(spark, tmp_path):
+    """O23 × O27: an ALTER for one table interleaved inside a multi-table
+    micro-batch force-flushes THAT table's earlier segment while the
+    other table's DML applies normally in the same flush."""
+    c = consumer(spark, tmp_path)
+    create_tables(c, tables=("a", "b"))
+    wide = T.StructType(SRC.fields + [T.StructField("extra", T.StringType(), True)])
+    alter = DDLEvent(DDLOp.ALTER_TABLE, "db", "a", schema=wide,
+                     primary_keys=["user_id"], sequence_num=5)
+    # stream rows carry `extra` throughout (the source evolved); the
+    # pre-ALTER segment's target simply lacks the column yet
+    multi_x = T.StructType(
+        STAGING.fields[:4]
+        + [T.StructField("extra", T.StringType(), True)]
+        + STAGING.fields[4:]
+        + [
+            T.StructField("_database", T.StringType(), True),
+            T.StructField("_table", T.StringType(), True),
+        ]
+    )
+    batch = spark.createDataFrame([
+        ("INSERT", 1, 1, 1.0, "e1", None, "db", "a"),
+        ("INSERT", 2, 2, 2.0, "e2", None, "db", "b"),
+        ("INSERT", 3, 3, 3.0, "e3", None, "db", "a"),
+        # post-ALTER update for table a; plain insert for b
+        ("UPDATE", 6, 1, 10.0, "e6", 1, "db", "a"),
+        ("INSERT", 7, 9, 9.0, "e7", None, "db", "b"),
+    ], multi_x)
+    ms = run_mixed_stream_multi(
+        c, [("dml", batch, [alter])], str(tmp_path / "cp")
+    )
+    assert {(m["database"], m["table_name"]) for m in ms} == {("db", "a"), ("db", "b")}
+    a = {r["user_id"]: (r["value"], r["extra"])
+         for r in c.table("db", "a").read().collect()}
+    b = {r["user_id"]: r["value"] for r in c.table("db", "b").read().collect()}
+    # user 1 updated post-ALTER (gets extra); user 3 pre-ALTER -> NULL
+    assert a == {1: (10.0, "e6"), 3: (3.0, None)} and b == {2: 2.0, 9: 9.0}
+    assert "extra" not in [f.name for f in c.table("db", "b").schema.fields]
+
+def test_multi_table_mixed_create_mid_stream(spark, tmp_path):
+    """A NEW table born by a CREATE_TABLE event inside a multi-table
+    flush: its post-CREATE DML applies, other tables are unaffected."""
+    c = consumer(spark, tmp_path)
+    create_tables(c, tables=("a",))
+    create = DDLEvent(DDLOp.CREATE_TABLE, "db", "fresh", schema=SRC,
+                      primary_keys=["user_id"], sequence_num=4)
+    batch = multi_rows(spark, [
+        ("INSERT", 1, 1, 1.0, None, "db", "a"),
+        ("INSERT", 5, 100, 100.0, None, "db", "fresh"),
+        ("INSERT", 6, 101, 101.0, None, "db", "fresh"),
+    ])
+    run_mixed_stream_multi(c, [("dml", batch, [create])], str(tmp_path / "cp"))
+    assert c.table("db", "a").read().count() == 1
+    fresh = {r["user_id"] for r in c.table("db", "fresh").read().collect()}
+    assert fresh == {100, 101}
 
 def test_multi_table_mixed_drop_recreate_mid_stream(spark, tmp_path):
     """Generation bump: DROP + re-CREATE of one table inside a
@@ -219,16 +278,16 @@ def test_multi_table_mixed_drop_recreate_mid_stream(spark, tmp_path):
     BigQueryEventConsumerTest.java:511-526,788-885).  Pre-DROP rows for
     the old generation are gone; the reborn table holds exactly its
     post-CREATE DML; the sibling table is untouched."""
-    c = _consumer(spark, tmp_path)
-    _create(c, ("a", "b"))
+    c = consumer(spark, tmp_path)
+    create_tables(c, ("a", "b"))
     drop = DDLEvent(DDLOp.DROP_TABLE, "db", "a", sequence_num=4)
     create = DDLEvent(DDLOp.CREATE_TABLE, "db", "a", schema=WIDE_SRC,
                       primary_keys=["user_id"], sequence_num=5)
-    batch0 = _dml(spark, [
+    batch0 = dml(spark, [
         ("INSERT", 1, 1, 1.0, None, None, "db", "a"),
         ("INSERT", 2, 2, 2.0, None, None, "db", "b"),
     ]).drop(C.DDL_PAYLOAD)
-    batch1 = _dml(spark, [
+    batch1 = dml(spark, [
         # old-generation row, applied before the DROP
         ("INSERT", 3, 3, 3.0, None, None, "db", "a"),
         # new-generation rows after the re-CREATE
@@ -245,10 +304,8 @@ def test_multi_table_mixed_drop_recreate_mid_stream(spark, tmp_path):
     b = {r["user_id"]: r["value"] for r in c.table("db", "b").read().collect()}
     assert b == {2: 2.0, 9: 9.0}
 
-
 def _state(c, db, tb):
     return {r["user_id"]: r["value"] for r in c.table(db, tb).read().collect()}
-
 
 def test_multi_table_standalone_drop_recreate_with_resume(spark, tmp_path):
     """STANDALONE DDL control events: a DROP then re-CREATE for ONE
@@ -260,10 +317,10 @@ def test_multi_table_standalone_drop_recreate_with_resume(spark, tmp_path):
 
     Complements test_multi_table_mixed_drop_recreate_mid_stream, which
     drives the same sequence interleaved INSIDE one DML item."""
-    c = _consumer(spark, tmp_path)
-    _create(c, ("a", "b"))
+    c = consumer(spark, tmp_path)
+    create_tables(c, ("a", "b"))
     cp = str(tmp_path / "cp")
-    b0 = _dml(spark, [
+    b0 = dml(spark, [
         ("INSERT", 1, 1, 1.0, None, None, "db", "a"),
         ("INSERT", 2, 2, 2.0, None, None, "db", "b"),
         ("INSERT", 3, 3, 3.0, None, None, "db", "b"),
@@ -277,7 +334,7 @@ def test_multi_table_standalone_drop_recreate_with_resume(spark, tmp_path):
         ("INSERT", 8, 40, 40.0, None, None, "db", "b"),
         ("DELETE", 9, 40, 40.0, None, 40, "db", "b"),
     ]
-    b1 = _dml(
+    b1 = dml(
         spark, [("UPDATE", 10, 1, 10.0, None, 1, "db", "a")] + post
     ).drop(C.DDL_PAYLOAD)
     items = [("dml", b0), ("ddl", drop), ("ddl", recreate), ("dml", b1)]
@@ -291,14 +348,14 @@ def test_multi_table_standalone_drop_recreate_with_resume(spark, tmp_path):
 
     # oracle 1: sibling table a == full-stream replay on a fresh consumer
     # oracle 2: re-created b == fresh table fed only the post-CREATE rows
-    o = _consumer(spark, tmp_path / "oracle")
-    _create(o, ("a", "b"))
-    o.apply_batch("db", "a", _dml(spark, [
+    o = consumer(spark, tmp_path / "oracle")
+    create(o, ("a", "b"))
+    o.apply_batch("db", "a", dml(spark, [
         ("INSERT", 1, 1, 1.0, None, None, "db", "a"),
         ("UPDATE", 10, 1, 10.0, None, 1, "db", "a"),
     ]).drop(C.DDL_PAYLOAD, "_database", "_table"), 0)
     o.apply_batch("db", "b",
-                  _dml(spark, post).drop(C.DDL_PAYLOAD, "_database", "_table"),
+                  dml(spark, post).drop(C.DDL_PAYLOAD, "_database", "_table"),
                   0)
     assert _state(c, "db", "a") == _state(o, "db", "a") == {1: 10.0}
     assert _state(c, "db", "b") == _state(o, "db", "b") == {30: 31.0}
@@ -317,17 +374,16 @@ def test_multi_table_standalone_drop_recreate_with_resume(spark, tmp_path):
     assert _state(c, "db", "b") == {30: 31.0}
     assert c.table("db", "b").history().count() == 2
 
-
 def test_multi_table_standalone_create_joins_cached_topology(spark, tmp_path):
     """tables=None through the STREAM DRIVER: topology is discovered
     once from the first batch, then a standalone CREATE mid-stream adds
     the new table to the cached fan-out (not waiting for a re-discovery
     that never happens) and a standalone DROP removes it so later
     batches don't fail on a missing table."""
-    c = _consumer(spark, tmp_path)
-    _create(c, ("a",))
+    c = consumer(spark, tmp_path)
+    create_tables(c, ("a",))
     cp = str(tmp_path / "cp")
-    mk = lambda rows: _dml(spark, rows).drop(C.DDL_PAYLOAD)  # noqa: E731
+    mk = lambda rows: dml(spark, rows).drop(C.DDL_PAYLOAD)  # noqa: E731
     b0 = mk([("INSERT", 1, 1, 1.0, None, None, "db", "a")])
     create = DDLEvent(DDLOp.CREATE_TABLE, "db", "fresh", schema=SRC,
                       primary_keys=["user_id"], sequence_num=2)
@@ -344,29 +400,3 @@ def test_multi_table_standalone_create_joins_cached_topology(spark, tmp_path):
     assert c.topology_discoveries == 1  # one cold-start scan, then DDL-maintained
     assert _state(c, "db", "a") == {1: 1.0, 2: 2.0, 3: 3.0}
     assert not c.table_exists("db", "fresh")
-
-
-def test_late_appearing_table_without_create_is_routed(spark, tmp_path):
-    """tables=None: a pre-existing quiet table whose rows first appear
-    in a LATER micro-batch with NO CREATE_TABLE event in-stream (e.g. a
-    consumer restart over an established lake) must still receive its
-    rows — the known-topology set is observability, never the routing
-    source.  Round-4's lifetime-cached discovery silently dropped these
-    rows (the fan-out filter routed only first-batch tables)."""
-    c = _consumer(spark, tmp_path)
-    _create(c, ("a", "b"))  # both tables exist in the lake
-    mk = lambda rows: _dml(spark, rows).drop(C.DDL_PAYLOAD)  # noqa: E731
-    # batch 0 only carries table a -> cold-start discovery sees only a
-    c.apply_multi_table_batch(
-        mk([("INSERT", 1, 1, 1.0, None, None, "db", "a")]), 0
-    )
-    # batch 1 carries b for the first time, with no CREATE event
-    ms = c.apply_multi_table_batch(mk([
-        ("INSERT", 2, 2, 2.0, None, None, "db", "a"),
-        ("INSERT", 3, 9, 9.0, None, None, "db", "b"),
-    ]), 1)
-    assert {(m["database"], m["table_name"]) for m in ms} == {
-        ("db", "a"), ("db", "b")
-    }
-    assert {r["user_id"] for r in c.table("db", "b").read().collect()} == {9}
-    assert c.topology_discoveries == 2  # cold start + the late table
