@@ -15,7 +15,7 @@ run on, so the claim "audit vs brute force" is a number, not a promise:
 All result sets are tiny (top-k per query / threshold-filtered pairs),
 so the set arithmetic runs driver-side on collected rows.
 ``tools/recall_report.py`` prints the report as one JSON line;
-``tests/test_round3_fixes.py`` pins the floors.
+``tests/test_dedup_hygiene.py`` pins the floors.
 """
 
 from __future__ import annotations

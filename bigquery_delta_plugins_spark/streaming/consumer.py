@@ -783,6 +783,13 @@ class EventConsumer:
         """
         from concurrent.futures import ThreadPoolExecutor
 
+        # One materialization shared by every per-table filter: without
+        # the persist each table's sub-batch (and the discovery scan)
+        # re-computes the full batch subtree — T redundant passes per
+        # batch on a T-table stream.
+        release = tables is None or len(tables) > 1
+        if release:
+            batch_df = batch_df.persist()
         if tables is None:
             tables = self._discover_topology(batch_df, database_col, table_col)
 
@@ -799,13 +806,17 @@ class EventConsumer:
 
         results: list[dict] = []
         errors: list[tuple[str, str, Exception]] = []
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            futs = {ex.submit(one, db, tb): (db, tb) for db, tb in tables}
-            for fut, (db, tb) in futs.items():
-                try:
-                    results.append(fut.result())
-                except Exception as e:  # noqa: BLE001 — aggregated below
-                    errors.append((db, tb, e))
+        try:
+            with ThreadPoolExecutor(max_workers=max_workers) as ex:
+                futs = {ex.submit(one, db, tb): (db, tb) for db, tb in tables}
+                for fut, (db, tb) in futs.items():
+                    try:
+                        results.append(fut.result())
+                    except Exception as e:  # noqa: BLE001 — aggregated below
+                        errors.append((db, tb, e))
+        finally:
+            if release:
+                batch_df.unpersist()
         if errors:
             detail = "; ".join(f"{db}.{tb}: {e}" for db, tb, e in errors)
             raise RuntimeError(
@@ -925,6 +936,9 @@ class EventConsumer:
                 self.apply_ddl(ev)
             else:
                 ddls_by_table.setdefault((ev.database, ev.table), []).append(ev)
+        release = tables is None or len(tables) > 1
+        if release:
+            batch_df = batch_df.persist()  # shared by every per-table filter
         if tables is None:
             discovered = set(
                 self._discover_topology(batch_df, database_col, table_col)
@@ -943,13 +957,17 @@ class EventConsumer:
 
         results: list[dict] = []
         errors: list[tuple[str, str, Exception]] = []
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            futs = {ex.submit(one, db, tb): (db, tb) for db, tb in all_tables}
-            for fut, (db, tb) in futs.items():
-                try:
-                    results.extend(fut.result())
-                except Exception as e:  # noqa: BLE001 — aggregated below
-                    errors.append((db, tb, e))
+        try:
+            with ThreadPoolExecutor(max_workers=max_workers) as ex:
+                futs = {ex.submit(one, db, tb): (db, tb) for db, tb in all_tables}
+                for fut, (db, tb) in futs.items():
+                    try:
+                        results.extend(fut.result())
+                    except Exception as e:  # noqa: BLE001 — aggregated below
+                        errors.append((db, tb, e))
+        finally:
+            if release:
+                batch_df.unpersist()
         if errors:
             detail = "; ".join(f"{db}.{tb}: {e}" for db, tb, e in errors)
             raise RuntimeError(

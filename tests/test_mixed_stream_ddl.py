@@ -349,7 +349,7 @@ def test_multi_table_standalone_drop_recreate_with_resume(spark, tmp_path):
     # oracle 1: sibling table a == full-stream replay on a fresh consumer
     # oracle 2: re-created b == fresh table fed only the post-CREATE rows
     o = consumer(spark, tmp_path / "oracle")
-    create(o, ("a", "b"))
+    create_tables(o, ("a", "b"))
     o.apply_batch("db", "a", dml(spark, [
         ("INSERT", 1, 1, 1.0, None, None, "db", "a"),
         ("UPDATE", 10, 1, 10.0, None, 1, "db", "a"),

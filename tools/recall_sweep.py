@@ -5,7 +5,7 @@ For each configuration of the LSH/IVF knobs, measures BOTH recall (vs
 the exact baseline, computed once) and wall-clock (full query execution
 to collect) on the given sf dir.  Output: one JSON line per config plus
 a `best` summary — the cheapest config on each axis whose recall clears
-the pinned floor (tests/test_round3_fixes.py, >= 0.6).
+the pinned floor (tests/test_dedup_hygiene.py, >= 0.6).
 
 Usage:
     python tools/recall_sweep.py [sf_dir]      # default /root/testdata/sf0.1
