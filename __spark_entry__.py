@@ -339,6 +339,18 @@ WHERE o._sequence_num IS NULL OR n._sequence_num IS NULL
     )
 
 
+_STAGING_ROUNDTRIP_ORACLE = (
+    "SELECT event_type, COUNT(*) AS n_events, "
+    "MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id, "
+    "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS sum_value_cents, "
+    "CAST(SUM(length(props)) AS BIGINT) AS props_len_sum, "
+    "MIN(ts) AS min_ts, MAX(ts) AS max_ts, "
+    "COUNT(DISTINCT ts) AS n_ts "
+    "FROM events GROUP BY event_type"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from bigquery_delta_plugins_spark.plans import cdc_queries as q
     from bigquery_delta_plugins_spark.plans import pipeline_queries as p
@@ -355,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_normalized_projection": q.cdc_normalized_projection,
         "cdc_table_changes": q.cdc_table_changes,
         "cdc_json_staging_roundtrip": q.cdc_json_staging_roundtrip,
+        "cdc_avro_staging_roundtrip": q.cdc_avro_staging_roundtrip,
         **p.QUERIES,
     }
 
@@ -401,15 +414,8 @@ WHERE CAST(FLOOR((_sequence_num - 1) / 2500) AS BIGINT) = 3 AND _sequence_num > 
         ),
         "cdc_table_changes": _table_changes_sql(),
         # the oracle aggregates the ORIGINAL parquet — equality proves
-        # the engine's JSON encode->decode round trip is lossless
-        "cdc_json_staging_roundtrip": (
-            "SELECT event_type, COUNT(*) AS n_events, "
-            "MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id, "
-            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
-            "AS sum_value_cents, "
-            "CAST(SUM(length(props)) AS BIGINT) AS props_len_sum, "
-            "MIN(ts) AS min_ts, MAX(ts) AS max_ts, "
-            "COUNT(DISTINCT ts) AS n_ts "
-            "FROM events GROUP BY event_type"
-        ),
+        # the engine's encode->decode round trip is lossless; the JSON
+        # and Avro codecs share it (identical fidelity contract)
+        "cdc_json_staging_roundtrip": _STAGING_ROUNDTRIP_ORACLE,
+        "cdc_avro_staging_roundtrip": _STAGING_ROUNDTRIP_ORACLE,
     }

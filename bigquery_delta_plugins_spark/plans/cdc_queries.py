@@ -330,6 +330,33 @@ def cdc_json_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_avro_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: Avro staging codec fidelity, checked against an external
+    engine — the Avro twin of :func:`cdc_json_staging_roundtrip`.
+    Round-trip the events table through the full Avro Object Container
+    wire format (the reference's DEFAULT staging encoding,
+    MultiGCSWriter.java:109-129 / AvroEventWriter.java:30-50) inside
+    each task, then aggregate — equality with DuckDB aggregating the
+    ORIGINAL parquet proves every staged type (int64, double, string,
+    micros timestamp) survives the encode->decode byte path exactly."""
+    from ..sources.avro_staging import roundtrip_through_container
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rt = roundtrip_through_container(ev)
+    return rt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_value_cents"
+        ),
+        F.sum(F.length("props")).alias("props_len_sum"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count_distinct(F.col("ts")).alias("n_ts"),
+    )
+
+
 def cdc_normalized_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O18: BigQuery-compatible column-name normalization as a zero-cost
     Catalyst projection over a dirty-named intermediate."""

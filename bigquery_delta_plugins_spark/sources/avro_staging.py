@@ -338,6 +338,28 @@ def _arrow_field_type(dt: T.DataType):
     }[type(dt)]
 
 
+def _rows_to_record_batch(rows: list[tuple], schema: T.StructType):
+    """Decoded row tuples (timestamps as int64 micros) -> one Arrow
+    RecordBatch typed per ``_arrow_field_type``; None when empty."""
+    import pyarrow as pa
+
+    if not rows:
+        return None
+    out_fields = [
+        pa.field(f.name, _arrow_field_type(f.dataType), nullable=True)
+        for f in schema.fields
+    ]
+    cols = list(zip(*rows))
+    arrays = []
+    for vals, f, fld in zip(cols, schema.fields, out_fields):
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            a = pa.array(vals, pa.int64()).cast(fld.type)
+        else:
+            a = pa.array(vals, fld.type)
+        arrays.append(a)
+    return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(out_fields))
+
+
 def read_staged_avro(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
@@ -345,30 +367,41 @@ def read_staged_avro(
     ``binaryFile`` source + mapInArrow decode, one file per task."""
 
     def decode_files(batches):
-        import pyarrow as pa
-
-        out_fields = [
-            pa.field(f.name, _arrow_field_type(f.dataType), nullable=True)
-            for f in schema.fields
-        ]
         for batch in batches:
             for content in batch.column(0).to_pylist():
-                rows = decode_container(bytes(content), schema)
-                if not rows:
-                    continue
-                cols = list(zip(*rows))
-                arrays = []
-                for vals, f, fld in zip(cols, schema.fields, out_fields):
-                    if isinstance(
-                        f.dataType, (T.TimestampType, T.TimestampNTZType)
-                    ):
-                        a = pa.array(vals, pa.int64()).cast(fld.type)
-                    else:
-                        a = pa.array(vals, fld.type)
-                    arrays.append(a)
-                yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(out_fields))
+                rb = _rows_to_record_batch(
+                    decode_container(bytes(content), schema), schema
+                )
+                if rb is not None:
+                    yield rb
 
     files = spark.read.format("binaryFile").load(
         os.path.join(path, "*.avro")
     ).select("content")
     return files.mapInArrow(decode_files, schema)
+
+
+def roundtrip_through_container(df: DataFrame) -> DataFrame:
+    """Round-trip every partition through the FULL Avro wire format —
+    container header, metadata map, sync-marked null-codec blocks,
+    zigzag varints — without touching a filesystem: each task encodes
+    its rows to one in-memory container blob, then decodes that blob
+    back.  Fidelity is identical to the file path (decode sees only the
+    container bytes), but it stays a single distributed plan, so a
+    driver query can oracle-check the codec against the ORIGINAL
+    parquet (cdc_avro_staging_roundtrip): equal aggregates prove the
+    encode->decode is lossless for every staged-event type."""
+    schema = df.schema
+
+    def rt(batches):
+        rows: list[tuple] = []
+        for batch in batches:
+            cols = _arrow_columns(batch, schema)
+            rows.extend(zip(*cols) if cols else [])
+        rb = _rows_to_record_batch(
+            decode_container(encode_container(rows, schema), schema), schema
+        )
+        if rb is not None:
+            yield rb
+
+    return df.mapInArrow(rt, schema)

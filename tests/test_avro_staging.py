@@ -82,6 +82,23 @@ def test_staged_events_avro_roundtrip_exact(spark, tmp_path):
     assert back.exceptAll(ev).count() == 0
 
 
+def test_in_plan_roundtrip_exact(spark):
+    """roundtrip_through_container: the filesystem-free wire-format
+    round trip (used by the cdc_avro_staging_roundtrip driver query) is
+    row-exact, including nulls, binary payloads, and full-range longs."""
+    from bigquery_delta_plugins_spark.sources.avro_staging import (
+        roundtrip_through_container,
+    )
+
+    df = spark.createDataFrame(ROWS, FLAT).repartition(3)
+    back = roundtrip_through_container(df)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in FLAT.fields
+    ]
+    assert df.exceptAll(back).count() == 0
+    assert back.exceptAll(df).count() == 0
+
+
 def test_timestamps_roundtrip_micros_exact(spark, tmp_path):
     """Both timestamp flavors ride as int64 micros logical longs and
     come back to the microsecond."""
