@@ -82,6 +82,40 @@ def test_staged_events_avro_roundtrip_exact(spark, tmp_path):
     assert back.exceptAll(ev).count() == 0
 
 
+def test_container_roundtrip_property():
+    """Property: ANY batch of staged-shaped rows round-trips exactly
+    through the container codec (no Spark — pure wire-format check).
+    Covers negative/full-range zigzag longs, NaN/inf doubles, empty and
+    non-ASCII strings, empty/NUL-laden binary, and every null layout."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    i64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+    doubles = st.floats(allow_nan=True, allow_infinity=True, width=64)
+    row = st.tuples(
+        st.text(max_size=20),
+        i64,
+        st.one_of(st.none(), i64),
+        st.one_of(st.none(), doubles),
+        st.one_of(st.none(), st.booleans()),
+        st.one_of(st.none(), st.binary(max_size=40)),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(row, max_size=50))
+    def check(rows):
+        back = decode_container(encode_container(rows, FLAT), FLAT)
+        assert len(back) == len(rows)
+        for got, want in zip(back, rows):
+            for g, w in zip(got, want):
+                if isinstance(w, float) and w != w:  # NaN
+                    assert g != g
+                else:
+                    assert g == w
+
+    check()
+
+
 def test_in_plan_roundtrip_exact(spark):
     """roundtrip_through_container: the filesystem-free wire-format
     round trip (used by the cdc_avro_staging_roundtrip driver query) is
