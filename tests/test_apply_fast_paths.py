@@ -5,6 +5,7 @@ exact two-pass plan on a valid binlog."""
 
 from bigquery_delta_plugins_spark import constants as C
 from bigquery_delta_plugins_spark.streaming.consumer import EventConsumer
+from bigquery_delta_plugins_spark.types import DDLEvent, DDLOp
 
 from cdc_helpers import consumer, create_tables, ins  # noqa: F401
 

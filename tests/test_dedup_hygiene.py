@@ -35,6 +35,11 @@ def test_dedup_similarity_eager_release_frees_indexes(spark):
             if i.memSize() + i.diskSize() > 0
         ]
 
+    # the session is shared across the suite — other modules' cached
+    # frames / not-yet-GC'd checkpoints may linger; assert only on RDDs
+    # created by THIS test's queries
+    preexisting = {i.id() for i in persisted_rdds()}
+
     for _ in range(3):
         DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_df=64).collect()
         DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
@@ -43,7 +48,7 @@ def test_dedup_similarity_eager_release_frees_indexes(spark):
     # every persisted INDEX was released at query end; only not-yet-GC'd
     # checkpointed pair results (tiny) may linger.  Without the release,
     # 12 queries leave ~15+ index RDDs cached forever.
-    remaining = persisted_rdds()
+    remaining = [i for i in persisted_rdds() if i.id() not in preexisting]
     assert len(remaining) <= 4, [
         (i.name(), i.memSize()) for i in remaining
     ]
