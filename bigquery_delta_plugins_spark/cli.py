@@ -2,18 +2,23 @@
 line, the way the reference plugin is driven by the Delta app
 (BigQueryTarget.java:108-213 initialize/createConsumer).
 
-Ship the package with ``--py-files`` and point it at a staged-events
-directory::
+Ship the package with ``--py-files`` (``spark-submit`` runs an
+application FILE — the repo-root ``bdps_submit.py`` shim — not a
+module) and point it at a staged-events directory::
 
     zip -r bdps.zip bigquery_delta_plugins_spark
-    spark-submit --py-files bdps.zip -m bigquery_delta_plugins_spark \\
+    spark-submit --py-files bdps.zip bdps_submit.py \\
         gen    --events /data/staged --n-events 10000000 --n-urls 200000
-    spark-submit --py-files bdps.zip -m bigquery_delta_plugins_spark \\
+    spark-submit --py-files bdps.zip bdps_submit.py \\
         apply  --events /data/staged --warehouse /lake --table web.pages
-    spark-submit --py-files bdps.zip -m bigquery_delta_plugins_spark \\
+    spark-submit --py-files bdps.zip bdps_submit.py \\
         stream --events /data/staged --warehouse /lake --table web.pages
-    spark-submit --py-files bdps.zip -m bigquery_delta_plugins_spark \\
+    spark-submit --py-files bdps.zip bdps_submit.py \\
         show   --warehouse /lake --table web.pages
+
+``python -m bigquery_delta_plugins_spark`` remains equivalent for
+local runs (tests/test_spark_submit.py proves the zip-only delivery
+path end-to-end in a subprocess).
 
 ``apply`` replays the staged parquet batch-by-batch (``_batch_id``
 partition order) through the exactly-once micro-batch loop; ``stream``
