@@ -119,8 +119,18 @@ def _cached_udf(key, builder):
 
 
 def vec_dot(a: Column, b: Column) -> Column:
-    """Vectorized twin of :func:`dot` — bit-identical, ~10x faster per
-    pair at dim 64 (more at real 768-1536 dims)."""
+    """Vectorized twin of :func:`dot` — bit-identical.  Measured at dim
+    768 / array<float> / 200k rows (BENCH/KERNELS.md): single-fold
+    surfaces (dot, norm) are a WASH vs the interpreted JVM fold (~0.9
+    vs ~1.0 s warm — one fold's interpretation cost roughly equals one
+    Arrow round trip), while multi-fold kernels (:func:`vec_bucket_array`
+    24 folds/row, :func:`vec_centroid_dots`) win 7x+ because one Arrow
+    transfer amortizes across all folds.  Co-projected pandas UDFs are
+    NOT fused by Spark (each becomes its own ArrowEvalPython node and
+    re-ships the vector), which is why the operators use the fused
+    struct kernels (:func:`vec_norm_buckets`,
+    :func:`vec_norm_centroid_dots`) for corpus prep and this per-pair
+    kernel only on hydrated survivors."""
 
     def build():
         @pandas_udf("double")
@@ -171,6 +181,71 @@ def vec_bucket_array(vec: Column, planes: int, dim: int, n_tables: int) -> Colum
         return f
 
     return _cached_udf(("buckets", planes, dim, n_tables), build)(vec)
+
+
+def vec_norm_buckets(
+    vec: Column, planes: int, dim: int, n_tables: int
+) -> Column:
+    """Fused ``struct(nrm, buckets)`` kernel: norm + all per-table
+    sign-LSH bucket ids in ONE Arrow pass.  Spark chains co-projected
+    pandas UDFs as separate ArrowEvalPython nodes (the vector ships to
+    Python once per UDF — measured plan: 2 nodes for norm + buckets),
+    so the banded/ANN corpus prep pays the Arrow boundary twice unless
+    the folds share a kernel.  Same ``_fold_dot`` — outputs are
+    bit-identical to :func:`vec_norm` / :func:`vec_bucket_array`."""
+    S = np.array(
+        [plane_signs(planes, dim, table=t) for t in range(n_tables)],
+        dtype=np.float64,
+    )
+
+    def build():
+        @pandas_udf("nrm double, buckets array<long>")
+        def f(v: pd.Series) -> pd.DataFrame:
+            V = _stack_f8(v)
+            n = V.shape[0]
+            if n == 0:
+                return pd.DataFrame(
+                    {"nrm": pd.Series([], dtype="float64"),
+                     "buckets": pd.Series([], dtype=object)}
+                )
+            nrm = np.sqrt(_fold_dot(V, V))
+            buckets = np.zeros((n, S.shape[0]), dtype=np.int64)
+            for t in range(S.shape[0]):
+                for p in range(S.shape[1]):
+                    dots = _fold_dot(V, np.broadcast_to(S[t, p], V.shape))
+                    buckets[:, t] += (dots > 0).astype(np.int64) << p
+            return pd.DataFrame({"nrm": nrm, "buckets": list(buckets)})
+
+        return f
+
+    return _cached_udf(("norm_buckets", planes, dim, n_tables), build)(vec)
+
+
+def vec_norm_centroid_dots(vec: Column, signs: list[list[int]]) -> Column:
+    """Fused ``struct(nrm, dots)`` kernel for the IVF prep — one Arrow
+    pass instead of two chained ArrowEvalPython nodes; bit-identical
+    outputs (same folds as :func:`vec_norm` / :func:`vec_centroid_dots`)."""
+    S = np.array(signs, dtype=np.float64)  # (C, d)
+
+    def build():
+        @pandas_udf("nrm double, dots array<double>")
+        def f(v: pd.Series) -> pd.DataFrame:
+            V = _stack_f8(v)
+            n = V.shape[0]
+            if n == 0:
+                return pd.DataFrame(
+                    {"nrm": pd.Series([], dtype="float64"),
+                     "dots": pd.Series([], dtype=object)}
+                )
+            nrm = np.sqrt(_fold_dot(V, V))
+            out = np.empty((n, S.shape[0]), dtype=np.float64)
+            for i in range(S.shape[0]):
+                out[:, i] = _fold_dot(V, np.broadcast_to(S[i], V.shape))
+            return pd.DataFrame({"nrm": nrm, "dots": list(out)})
+
+        return f
+
+    return _cached_udf(("norm_centroids", S.tobytes()), build)(vec)
 
 
 def vec_centroid_dots(vec: Column, signs: list[list[int]]) -> Column:
@@ -264,20 +339,21 @@ def cosine_pairs_banded(
     (id_a, id_b, cosine-double) tuple afterwards runs the interpreted
     dot fold up to ``n_tables``× per pair — measured 6.7× slower on the
     sf0.1 corpus at 10 tables."""
-    # persisted: base carries the vector + norm consumed by both sides
-    # of the pair-hydration join; keys (id, tbl, bucket) feeds both
-    # self-join sides.  Both expressions are interpreted higher-order
-    # folds, so recomputation — not the joins — would dominate.
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        vec_norm(F.col(vec_col)).alias("nrm"),
-    ).persist()
+    # persisted: base carries the vector + norm + bucket array from ONE
+    # fused Arrow pass (vec_norm_buckets) — separate norm/bucket UDFs
+    # would ship every vector to Python twice; keys (id, tbl, bucket)
+    # explodes the precomputed array JVM-side and feeds both self-join
+    # sides.
+    nb = vec_norm_buckets(F.col(vec_col), planes, dim, n_tables)
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  nb.alias("__nb"))
+        .select("id", "v", F.col("__nb.nrm").alias("nrm"),
+                F.col("__nb.buckets").alias("__bkts"))
+        .persist()
+    )
     keys = base.select(
-        "id",
-        F.posexplode(vec_bucket_array(F.col("v"), planes, dim, n_tables)).alias(
-            "tbl", "bucket"
-        ),
+        "id", F.posexplode(F.col("__bkts")).alias("tbl", "bucket")
     ).persist()
     pairs = (
         keys.select(F.col("id").alias("id_a"), "tbl", "bucket")
@@ -468,12 +544,17 @@ def ann_topk_ivf(
     keeps non-cheap bound columns un-inlined, so the plan stays
     linear in nprobe."""
     signs = plane_signs(n_cells, dim)
-    dots = vec_centroid_dots(F.col(vec_col), signs)
+    # fused struct kernel: norm + centroid dots in ONE Arrow pass per
+    # side (co-projected pandas UDFs chain as separate ArrowEvalPython
+    # nodes and would ship every vector twice)
+    nd = vec_norm_centroid_dots(F.col(vec_col), signs)
     c0 = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        vec_norm(F.col(vec_col)).alias("cn"),
-        dots.alias("__m0"),
+        nd.alias("__nd"),
+    ).select(
+        "neighbor_id", "cv",
+        F.col("__nd.nrm").alias("cn"), F.col("__nd.dots").alias("__m0"),
     )
     c = c0.select(
         "neighbor_id", "cv", "cn",
@@ -482,8 +563,10 @@ def ann_topk_ivf(
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        vec_norm(F.col(vec_col)).alias("qn"),
-        dots.alias("__m0"),
+        nd.alias("__nd"),
+    ).select(
+        "query_id", "qv",
+        F.col("__nd.nrm").alias("qn"), F.col("__nd.dots").alias("__m0"),
     )
     cell_cols: list[str] = []
     m_prev = "__m0"
@@ -570,17 +653,22 @@ def ann_lsh_topk(
 
     buckets = vec_bucket_array(F.col(vec_col), planes, dim, n_tables)
     if n_tables <= 1:
+        nb = vec_norm_buckets(F.col(vec_col), planes, dim, n_tables)
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            vec_norm(F.col(vec_col)).alias("qn"),
-            F.posexplode(buckets).alias("tbl", "bucket"),
+            nb.alias("__nb"),
+        ).select(
+            "query_id", "qv", F.col("__nb.nrm").alias("qn"),
+            F.posexplode(F.col("__nb.buckets")).alias("tbl", "bucket"),
         )
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            vec_norm(F.col(vec_col)).alias("cn"),
-            F.posexplode(buckets).alias("tbl", "bucket"),
+            nb.alias("__nb"),
+        ).select(
+            "neighbor_id", "cv", F.col("__nb.nrm").alias("cn"),
+            F.posexplode(F.col("__nb.buckets")).alias("tbl", "bucket"),
         )
         joined = (
             c.join(F.broadcast(q), ["tbl", "bucket"])

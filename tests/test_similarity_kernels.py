@@ -73,3 +73,33 @@ def test_vec_centroid_dots_bitwise_match_jvm(spark):
         assert all(
             _bits(a) == _bits(b) for a, b in zip(r["jd"], r["vd"])
         )
+
+
+def test_fused_norm_buckets_matches_separate_kernels(spark):
+    """vec_norm_buckets (one Arrow pass) must equal vec_norm +
+    vec_bucket_array bit-for-bit — the banded/LSH operators moved to
+    the fused kernel purely to halve the Arrow boundary cost."""
+    df = _vectors(spark, n=200, seed=8)
+    got = df.select(
+        SIM.vec_norm(F.col("v")).alias("n1"),
+        SIM.vec_bucket_array(F.col("v"), 3, DIM, 6).alias("b1"),
+        SIM.vec_norm_buckets(F.col("v"), 3, DIM, 6).alias("nb"),
+    ).collect()
+    for r in got:
+        assert _bits(r["n1"]) == _bits(r["nb"]["nrm"])
+        assert list(r["b1"]) == list(r["nb"]["buckets"])
+
+
+def test_fused_norm_centroid_dots_matches_separate_kernels(spark):
+    signs = SIM.plane_signs(8, DIM)
+    df = _vectors(spark, n=200, seed=9)
+    got = df.select(
+        SIM.vec_norm(F.col("v")).alias("n1"),
+        SIM.vec_centroid_dots(F.col("v"), signs).alias("d1"),
+        SIM.vec_norm_centroid_dots(F.col("v"), signs).alias("nd"),
+    ).collect()
+    for r in got:
+        assert _bits(r["n1"]) == _bits(r["nd"]["nrm"])
+        assert all(
+            _bits(a) == _bits(b) for a, b in zip(r["d1"], r["nd"]["dots"])
+        )
