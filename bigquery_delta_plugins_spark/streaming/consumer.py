@@ -508,7 +508,27 @@ class EventConsumer:
             broadcast_winners=self.broadcast_flatten_winners,
         )
         if self.row_transform is not None:
-            diff = self.row_transform(diff)
+            # Rebalance the (small, flatten-collapsed) diff to the
+            # configured shuffle parallelism BEFORE the Arrow transform.
+            # Without this the pandas UDF inherits the staged scan's
+            # file-split partitioning (hundreds of ~700-row slivers per
+            # batch at 8 MB maxPartitionBytes), and the per-task Python
+            # boundary cost dominates: measured 38 core-s/batch of UDF
+            # wall for ~2.3 core-s of actual extraction work on the 8M
+            # event / 200k url workload — the rebalance cut steady-state
+            # batch wall 14.0 -> 9.7 s at local[8] (BENCH/raw_r5, round-5
+            # diag).  Hash-partitioning on the PKs keeps placement
+            # deterministic (no round-robin sort) and is skew-safe: the
+            # flatten already collapsed each key to one row.  The
+            # exchange also lets every downstream merge arm reuse ONE
+            # materialization of flatten+extract instead of re-deriving
+            # it per arm.
+            diff = self.row_transform(
+                diff.repartition(
+                    int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                    *[F.col(k) for k in pks],
+                )
+            )
 
         if self.single_job_per_batch and not has_snap:
             return self._apply_single_job(
