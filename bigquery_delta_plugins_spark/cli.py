@@ -105,31 +105,32 @@ def _split_table(qualified: str) -> tuple[str, str]:
 
 def cmd_gen(args) -> int:
     from .sources.gen import synth_events
+    from .sources.staging_io import write_staged_events
 
     spark = _session(args)
     ev = synth_events(
         spark, args.n_events, args.n_urls,
         batch_size=args.batch_size, pk_move_frac=args.pk_move_frac,
     )
-    ev.write.mode("overwrite").partitionBy("_batch_id").parquet(args.events)
-    print(json.dumps({"events": args.events, "n_events": args.n_events}))
+    info = write_staged_events(ev, args.events, args.format)
+    print(json.dumps({
+        "events": args.events, "n_events": args.n_events, **info,
+    }))
     return 0
 
 
 def cmd_apply(args) -> int:
-    from pyspark.sql import functions as F
-
-    from . import constants as C
+    from . import schemas
+    from .sources.staging_io import read_staged_batches
     from .streaming.driver import run_microbatch_loop
 
     spark = _session(args)
     db, tb = _split_table(args.table)
     consumer = _consumer(spark, args, _pages_schema(), db, tb, ["url"])
-    ev = spark.read.parquet(args.events)
-    batch_ids = sorted(
-        r[0] for r in ev.select(C.BATCH_ID).distinct().collect()
+    batches = read_staged_batches(
+        spark, args.events, schemas.staging_schema(_pages_schema()),
+        args.events_format,
     )
-    batches = [(b, ev.filter(F.col(C.BATCH_ID) == b)) for b in batch_ids]
     metrics = run_microbatch_loop(
         consumer, batches, db, tb,
         args.checkpoint or os.path.join(args.warehouse, "_cp"),
@@ -263,6 +264,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--n-urls", type=int, default=50_000)
     g.add_argument("--batch-size", type=int, default=100_000)
     g.add_argument("--pk-move-frac", type=float, default=0.02)
+    g.add_argument("--format", choices=("parquet", "avro", "jsonl"),
+                   default="parquet",
+                   help="staging wire format (reference default is avro; "
+                   "parquet is this engine's columnar fast path)")
     g.set_defaults(fn=cmd_gen)
 
     for name, fn in (("apply", cmd_apply), ("stream", cmd_stream)):
@@ -284,6 +289,11 @@ def build_parser() -> argparse.ArgumentParser:
                        "INSERTs of existing keys")
         a.add_argument("--changes-dir", default=None,
                        help="eager per-batch CDC-out feed (parquet partitions)")
+        if name == "apply":
+            a.add_argument("--events-format",
+                           choices=("parquet", "avro", "jsonl"),
+                           default="parquet",
+                           help="wire format of the staged events dir")
         if name == "stream":
             a.add_argument("--max-files-per-trigger", type=int, default=1)
             a.add_argument("--continuous", action="store_true",

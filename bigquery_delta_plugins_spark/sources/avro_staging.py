@@ -229,6 +229,12 @@ def decode_container(data: bytes, schema: T.StructType) -> list[tuple]:
         n, pos = _read_long(mv, pos)
         if n == 0:
             break
+        if n < 0:
+            # Avro spec: a negative block count means abs(n) entries
+            # preceded by the block's byte size (a long) — emitted by
+            # writers that support skipping.  Ours never writes this
+            # form, but external staging buckets may.
+            _block_size, pos = _read_long(mv, pos)
         for _ in range(abs(n)):
             k, pos = _read_bytes(mv, pos)
             v, pos = _read_bytes(mv, pos)
@@ -243,7 +249,13 @@ def decode_container(data: bytes, schema: T.StructType) -> list[tuple]:
     sync_len = 16
     pos += sync_len
     decs = [_decoder_for(f.dataType) for f in schema.fields]
-    nullable = [f.nullable for f in schema.fields]
+    # Union-ness comes from the WIRE schema, not the caller's Spark
+    # nullability: the writer decides the encoding, and a reader whose
+    # Spark schema is stricter (e.g. staging_schema's non-null _op read
+    # against a file written from a plan whose _op column was nullable)
+    # must still parse the union branch indexes that are actually on
+    # the wire.
+    nullable = [isinstance(f["type"], list) for f in wire.get("fields", [])]
     out: list[tuple] = []
     while pos < len(mv):
         count, pos = _read_long(mv, pos)

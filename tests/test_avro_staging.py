@@ -64,6 +64,65 @@ def test_schema_mismatch_raises():
         decode_container(encode_container(ROWS, FLAT), other)
 
 
+def test_union_ness_follows_wire_schema_not_reader_nullability():
+    """A file written with nullable (union-encoded) fields must parse
+    when the READER's Spark schema is stricter (non-nullable), and vice
+    versa: the wire schema owns the encoding."""
+    loose = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in FLAT.fields]
+    )
+    strict = T.StructType(
+        [T.StructField(f.name, f.dataType, False) for f in FLAT.fields]
+    )
+    no_none = [r for r in ROWS if None not in r]
+    # written loose (unions on the wire), read strict
+    assert decode_container(encode_container(no_none, loose), strict) == no_none
+    # written strict (no unions), read loose
+    assert decode_container(encode_container(no_none, strict), loose) == no_none
+
+
+def test_negative_metadata_block_count_interop():
+    """Avro spec: a map block may carry a NEGATIVE entry count, meaning
+    abs(n) entries preceded by the block's byte size — external writers
+    that support skipping emit this form.  Rewrite our header's map with
+    a negative count and verify the decoder still parses it."""
+    import io
+
+    from bigquery_delta_plugins_spark.sources.avro_staging import (
+        _read_bytes,
+        _read_long,
+        _write_bytes,
+        _write_long,
+    )
+
+    data = encode_container(ROWS, FLAT)
+    mv = memoryview(data)
+    # parse our own positive-count header: magic, count=2, 2 kv pairs, 0
+    pos = 4
+    n, pos = _read_long(mv, pos)
+    assert n == 2
+    entries = []
+    for _ in range(n):
+        k, pos = _read_bytes(mv, pos)
+        v, pos = _read_bytes(mv, pos)
+        entries.append((k, v))
+    end, pos = _read_long(mv, pos)
+    assert end == 0
+    # re-emit with count=-2 + block byte size
+    body = io.BytesIO()
+    for k, v in entries:
+        _write_bytes(body, k)
+        _write_bytes(body, v)
+    head = io.BytesIO()
+    head.write(b"Obj\x01")
+    _write_long(head, -2)
+    _write_long(head, len(body.getvalue()))
+    head.write(body.getvalue())
+    _write_long(head, 0)
+    rewritten = head.getvalue() + data[pos:]
+    assert decode_container(rewritten, FLAT) == ROWS
+
+
 def test_staged_events_avro_roundtrip_exact(spark, tmp_path):
     """The full staged-event shape (strings, longs, binary payloads,
     null _before_* keys) survives encode -> container files -> decode

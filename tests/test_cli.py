@@ -84,3 +84,46 @@ def test_cli_gen_apply_show_roundtrip(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # full-span changelog of an insert-heavy stream ~= final live rows
     assert out["rows"] >= rows
+
+
+def test_cli_wire_formats_identical_state(spark, tmp_path, capsys):
+    """The same binlog staged in all three wire formats (parquet
+    columnar fast path, Avro — the reference default, JSONL — the
+    reference fallback) applies to an IDENTICAL final table."""
+    from bigquery_delta_plugins_spark.lake.table import LakeTable
+    from bigquery_delta_plugins_spark.normalize import (
+        get_normalized_dataset_name,
+        normalize_table_name,
+    )
+
+    base = ["--master", "local[4]", "--shuffle-partitions", "4"]
+    fingerprints = {}
+    for fmt in ("parquet", "avro", "jsonl"):
+        events = str(tmp_path / f"ev_{fmt}")
+        wh = str(tmp_path / f"wh_{fmt}")
+        assert main(base + [
+            "gen", "--events", events, "--n-events", "1200",
+            "--n-urls", "80", "--batch-size", "400", "--format", fmt,
+        ]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["format"] == fmt and out["batches"] == 3
+        assert main(base + [
+            "apply", "--events", events, "--warehouse", wh,
+            "--table", "web.pages", "--num-buckets", "4",
+            "--events-format", fmt,
+        ]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["applied_batches"] == 3 and out["skipped_batches"] == 0
+        path = os.path.join(
+            wh, get_normalized_dataset_name(None, "web"),
+            normalize_table_name("pages"),
+        )
+        df = LakeTable.load(spark, path).read()
+        fingerprints[fmt] = sorted(
+            (r["url"], r["_sequence_num"], r["_is_deleted"],
+             bytes(r["html"] or b""), r["text"], str(r["warc_ts"]))
+            for r in df.collect()
+        )
+    assert fingerprints["avro"] == fingerprints["parquet"]
+    assert fingerprints["jsonl"] == fingerprints["parquet"]
+    assert len(fingerprints["parquet"]) > 0
