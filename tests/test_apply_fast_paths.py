@@ -78,3 +78,55 @@ def test_unique_key_fast_path_matches_exact_merge(spark, tmp_path):
     ev.unpersist()
     assert states["exact"] == states["fast"] == states["fast_single_job"]
     assert len(states["exact"]) > 100
+
+
+def test_single_job_apply_state_identical_without_aqe(spark, tmp_path):
+    """The apply's RESULT must not depend on AQE (its WALL does: the
+    measured A/B at 8 cores, BENCH/raw_r5/diag_aqe_*.jsonl, shows AQE
+    ON is ~1.5-2x faster — the flatten's anti-join gets its broadcast
+    from AQE's runtime conversion and the shuffles get coalesced — so
+    AQE ON stays the shipped default).  Pin determinism here: same
+    binlog, AQE on vs off, byte-identical table state."""
+    from pyspark.sql import types as TT
+
+    from bigquery_delta_plugins_spark.sources.gen import synth_events
+    from bigquery_delta_plugins_spark.streaming.driver import run_microbatch_loop
+
+    pages = TT.StructType(
+        [
+            TT.StructField("url", TT.StringType(), False),
+            TT.StructField("warc_ts", TT.TimestampType(), True),
+            TT.StructField("html", TT.BinaryType(), True),
+            TT.StructField("text", TT.StringType(), True),
+            TT.StructField("lang", TT.StringType(), True),
+        ]
+    )
+    ev = synth_events(spark, 3000, 150, batch_size=1000, delete_frac=0.12,
+                      pk_move_frac=0.05).cache()
+    batches = [(b, ev.filter(ev[C.BATCH_ID] == b)) for b in range(3)]
+
+    states = {}
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    for mode, aqe in (("aqe_on", "true"), ("aqe_off", "false")):
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        try:
+            c = EventConsumer(
+                spark, str(tmp_path / mode / "wh"), num_buckets=4,
+                salt_buckets=2, assume_unique_keys=True,
+                single_job_per_batch=True,
+                single_job_merge_strategy="broadcast",
+            )
+            c.apply_ddl(
+                DDLEvent(DDLOp.CREATE_TABLE, "web", "pages", schema=pages,
+                         primary_keys=["url"])
+            )
+            run_microbatch_loop(c, batches, "web", "pages",
+                                str(tmp_path / mode / "cp"))
+            states[mode] = sorted(
+                map(str, c.table("web", "pages").read().collect())
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prior)
+    ev.unpersist()
+    assert states["aqe_on"] == states["aqe_off"]
+    assert len(states["aqe_on"]) > 100

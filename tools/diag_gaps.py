@@ -23,8 +23,12 @@ from tools.scaling_bench import NUM_BUCKETS, session  # noqa: E402
 
 eventlog_dir = tempfile.mkdtemp(prefix="bdps-eventlog-")
 os.makedirs("/dev/shm/bdps-spark-tmp", exist_ok=True)
+# keep any caller-supplied extra conf (e.g. an AQE on/off experiment)
+# and append the event-log settings this tool needs
+_caller_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
 os.environ["SPARK_GRAFT_EXTRA_CONF"] = (
-    f"spark.eventLog.enabled=true;spark.eventLog.dir={eventlog_dir};"
+    (_caller_extra + ";" if _caller_extra else "")
+    + f"spark.eventLog.enabled=true;spark.eventLog.dir={eventlog_dir};"
     "spark.eventLog.compress=false;spark.eventLog.rolling.enabled=false"
 )
 spark = session(cpus)
