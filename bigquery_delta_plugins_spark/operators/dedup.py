@@ -583,9 +583,10 @@ def connected_components(
         msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
             F.col("dst").alias("id"), "component"
         )
-        # ONE action materializes the new labels AND carries the old
-        # label for the convergence check — the count below only scans
-        # the checkpointed blocks, no extra join job.
+        # ONE action per round: the checkpoint is lazy, so the
+        # convergence count below is what materializes it — the filter
+        # scans every partition, pinning all blocks, and the round pays
+        # a single job instead of materialize-then-rescan.
         stepped = (
             labels.select("id", "component")
             .union(msgs)
@@ -594,7 +595,7 @@ def connected_components(
             .join(
                 labels.select("id", F.col("component").alias("_prev")), "id"
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("component") != F.col("_prev")).count()
         _release_checkpoint(prev_cp)
@@ -621,7 +622,9 @@ def connected_components(
         )
         for _ in range(max_iter):
             stats["star_rounds"] += 1
-            new_cp = _star_round(star_cp).localCheckpoint(eager=True)
+            # lazy checkpoint: the sig agg (which scans every partition)
+            # is the materializing action — one job per round, not two
+            new_cp = _star_round(star_cp).localCheckpoint(eager=False)
             new_sig = tuple(
                 new_cp.agg(
                     F.count(F.lit(1)),
