@@ -8,12 +8,20 @@ strings, so equality holds byte-for-byte:
 
 1. drop <script>/<style> elements including their content
 2. strip remaining tags
-3. collapse whitespace runs to single spaces, trim
+3. collapse ASCII-whitespace runs to single spaces, trim spaces
 
 ``extract_text_udf`` moves data via Arrow batches and uses pandas
 vectorized string ops — no per-row Python on the Spark side.
 ``extract_text_py`` is the scalar oracle used by tests to assert
 sha256-per-row equality.
+
+Every regex below is deliberately RE2-expressible (no backreferences,
+explicit ASCII whitespace class) so a THIRD, fully independent engine
+can replay the pipeline: the ``web_text_extract`` driver query runs
+the same three substitutions as DuckDB ``regexp_replace`` (RE2) and
+must hash-match this UDF byte-for-byte.  Python ``re`` and RE2 agree
+on these constructs (leftmost-first alternation, lazy ``.*?``, inline
+``(?is)`` flags, ASCII classes).
 """
 
 from __future__ import annotations
@@ -24,9 +32,14 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-_SCRIPT_RE = r"(?is)<(script|style)[^>]*>.*?</\1>"
+# one pass, leftmost-first — equivalent to <(script|style)>.*?</\1> but
+# with the backreference unrolled so RE2 can run the identical pattern
+_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
 _TAG_RE = r"(?s)<[^>]+>"
-_WS_RE = r"\s+"
+# explicit ASCII class: Python's \s also eats unicode whitespace
+# (\xa0,  , ...), RE2's does not — pin the ASCII semantics both
+# engines share
+_WS_RE = r"[ \t\n\r\f\v]+"
 
 
 def extract_text_py(html: bytes | None) -> str | None:
@@ -37,7 +50,7 @@ def extract_text_py(html: bytes | None) -> str | None:
     s = re.sub(_SCRIPT_RE, " ", s)
     s = re.sub(_TAG_RE, " ", s)
     s = re.sub(_WS_RE, " ", s)
-    return s.strip()
+    return s.strip(" ")
 
 
 @pandas_udf(StringType())
@@ -47,7 +60,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     s = s.str.replace(_SCRIPT_RE, " ", regex=True)
     s = s.str.replace(_TAG_RE, " ", regex=True)
     s = s.str.replace(_WS_RE, " ", regex=True)
-    return s.str.strip()
+    return s.str.strip(" ")
 
 
 def extract_text_transform(staged):

@@ -708,6 +708,36 @@ def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions/extract.py, the north-rule
+    N12 path) checked per-row against an INDEPENDENT regex engine: a
+    full html page is built deterministically from each document (a
+    title, a script block with quoted junk, a style block, nested body
+    tags, ragged newline/indent whitespace), the Arrow-vectorized
+    pandas UDF extracts on the Spark side, and the oracle replays the
+    identical three-substitution pipeline as DuckDB ``regexp_replace``
+    (RE2).  The extractor's regexes are RE2-expressible by design
+    (no backreferences, explicit ASCII whitespace class), so the hash
+    gate proves vectorized-pandas and RE2 agree byte-for-byte — a
+    strictly stronger check than the UDF-vs-scalar-Python sha256 test
+    (tests/test_extract.py), which shares Python's ``re`` engine."""
+    from ..functions.extract import extract_text_udf
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script type="text/javascript">var junk = \''),
+        F.md5(F.col("text")),
+        F.lit("';</script><style>p { color: red }</style></head>\n<body>\n  <h1>"),
+        F.upper(F.col("source")),
+        F.lit("</h1>\n  <p>"),
+        F.col("text"),
+        F.lit("</p>\n</body></html>\n"),
+    ).cast("binary")
+    return docs.select("doc_id", extract_text_udf(html).alias("extracted"))
+
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -1322,6 +1352,31 @@ SELECT doc_id, url,
 FROM q"""
 
 
+def _sql_web_text_extract() -> str:
+    # identical html construction, then the extractor's three
+    # substitutions replayed on DuckDB's RE2 — same patterns character
+    # for character (functions/extract.py keeps them RE2-expressible)
+    build = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><script type=\"text/javascript\">var junk = ''' || "
+        "md5(text) || "
+        "''';</script><style>p { color: red }</style></head>' || chr(10) || "
+        "'<body>' || chr(10) || '  <h1>' || upper(source) || '</h1>' || "
+        "chr(10) || '  <p>' || text || '</p>' || chr(10) || "
+        "'</body></html>' || chr(10)"
+    )
+    return rf"""SELECT doc_id,
+  trim(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace({build},
+          '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+      '[ \t\n\r\f\v]+', ' ', 'g'),
+    ' ') AS extracted
+FROM documents"""
+
+
 def _sql_tpch_q3() -> str:
     return """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
   CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
@@ -1434,6 +1489,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_quality_filter": text_quality_filter,
     "web_url_canonicalize": web_url_canonicalize,
+    "web_text_extract": web_text_extract,
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
     "corpus_split_counts": corpus_split_counts,
@@ -1470,6 +1526,7 @@ def oracles() -> dict[str, str]:
         "text_fingerprint": _sql_fingerprint(),
         "text_quality_filter": _sql_quality_filter(),
         "web_url_canonicalize": _sql_url_canonicalize(),
+        "web_text_extract": _sql_web_text_extract(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_incremental": _sql_dedup_incremental(),
         "corpus_split_counts": _sql_corpus_split(),
