@@ -673,6 +673,57 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_K = 8  # n-gram length for eval-set overlap (8-13 typical in practice)
+DECON_BENCH_MOD = 19  # doc_id % 19 == 0 -> deterministic "benchmark" split
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the standard pre-train pass that tags
+    training documents sharing any word ``DECON_K``-gram with an
+    evaluation set, so eval answers are not memorized from leaked
+    training copies.  The eval set is carved deterministically from the
+    corpus itself (``doc_id % DECON_BENCH_MOD == 0`` — no external
+    data); output is one row per remaining training doc with the count
+    of distinct colliding n-grams and a contaminated flag.
+
+    Scale shape (the part that matters at 100 TB): the benchmark n-gram
+    set is bounded by the EVAL suite size (MBs, not corpus-sized), so it
+    broadcasts — the training corpus is scanned once, its per-doc
+    distinct grams explode in place, survive a broadcast LEFT SEMI join,
+    and collapse map-side in the per-doc count (explode preserves doc
+    locality, so the partial agg sees ~1 row per doc before the
+    shuffle).  The zero-fill join back to the doc list runs against only
+    the CONTAMINATED doc ids (usually tiny; AQE picks broadcast at
+    runtime — not hinted, because adversarially it can be corpus-sized).
+    No reference counterpart; training-data-pipeline scope."""
+    docs = _docs(spark, sf_dir).withColumn("_toks", TX.tokens(F.col("text")))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.ngram_array(F.col("_toks"), DECON_K))
+        ).alias("gram"),
+    )
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_grams = grams.filter(is_bench).select("gram").distinct()
+    hits = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    n = F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)).cast("long")
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_contaminated_ngrams"),
+            (n > 0).alias("contaminated"),
+        )
+    )
+
+
 def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/url.py) checked per-row against
     an external engine.  Messy URLs are constructed DETERMINISTICALLY
@@ -1303,6 +1354,28 @@ SELECT doc_id, n AS n_tokens,
 FROM s"""
 
 
+def _sql_decontaminate() -> str:
+    # same gram construction as the Spark side: per-doc DISTINCT word
+    # 8-grams, docs shorter than K emit none (WHERE len(t) >= K mirrors
+    # ngram_array's empty-array-below-n semantics)
+    k = DECON_K
+    m = DECON_BENCH_MOD
+    return f"""WITH {_TOKS},
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(t) - {k - 1} + 1),
+        i -> array_to_string(t[i:i+{k - 1}], ' ')))) AS gram
+      FROM toks WHERE len(t) >= {k}),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {m} = 0),
+hits AS (SELECT doc_id, count(*) AS n FROM g
+         WHERE doc_id % {m} <> 0 AND gram IN (SELECT gram FROM bench)
+         GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {m} <> 0"""
+
+
 def _sql_url_canonicalize() -> str:
     # identical messy-URL construction, then the canonicalization rules
     # transliterated to DuckDB RE2 (backrefs \1, explicit 'g' flag where
@@ -1488,6 +1561,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_quality_filter": text_quality_filter,
+    "text_decontaminate": text_decontaminate,
     "web_url_canonicalize": web_url_canonicalize,
     "web_text_extract": web_text_extract,
     "dedup_exact": dedup_exact,
@@ -1525,6 +1599,7 @@ def oracles() -> dict[str, str]:
         "text_lang_id": _sql_lang_id(),
         "text_fingerprint": _sql_fingerprint(),
         "text_quality_filter": _sql_quality_filter(),
+        "text_decontaminate": _sql_decontaminate(),
         "web_url_canonicalize": _sql_url_canonicalize(),
         "web_text_extract": _sql_web_text_extract(),
         "dedup_exact": _sql_dedup_exact(),
