@@ -232,3 +232,21 @@ def test_late_shipments_window_pushed_single_agg(spark):
     assert any("PushedFilters" in l and "l_shipdate" in l
                for l in plan.splitlines()), plan
     assert plan.count("HashAggregate") <= 4, plan
+
+
+def test_decontaminate_is_broadcast_semi_no_corpus_shuffle(spark):
+    """N31 shape: the (eval-suite-bounded) benchmark gram set broadcasts
+    into a LEFT SEMI over the corpus's exploded grams — the corpus side
+    must never be exchange-partitioned by gram, and nothing may fall
+    back to a nested-loop/cartesian join."""
+    from bigquery_delta_plugins_spark.plans.pipeline_queries import (
+        text_decontaminate,
+    )
+
+    plan = plan_of(text_decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # exchanges: bench-gram distinct (1) + per-doc count (1) + the two
+    # broadcasts — but no sort-merge-join exchange pair on the corpus
+    assert "SortMergeJoin" not in plan, plan
