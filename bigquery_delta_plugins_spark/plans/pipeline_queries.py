@@ -724,6 +724,61 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_K = 3  # keywords kept per document
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction — top-``TFIDF_K`` terms per document,
+    the tagging pass corpus curation uses for topic bucketing and
+    quality-stratified sampling.  Cross-engine determinism: the float
+    score is snapped to an integer micro-score
+    (``floor(tf·ln(N/df)·1e6 + 0.5)``) and the per-doc ranking orders
+    by that integer with the term string as tie-break, so a last-ulp
+    ``ln`` difference between libms cannot flip ranks or hashes.
+
+    Scale shape: the (doc, term) counts partial-aggregate map-side
+    (terms of one doc are partition-local after the explode); document
+    frequency is a second map-side-combinable agg keyed by term; the
+    tf↔df equi-join is term-keyed — the df side is exactly one row per
+    term, so hot terms are a 1:N broadcast-shaped skew AQE splits —
+    and the final top-k window partitions by doc (group size bounded
+    by doc length).  N arrives via a broadcast 1-row cross join, never
+    a driver collect.
+
+    tf and df both hang off the (doc, term) counts and Catalyst does
+    not reuse the common subtree (verified: no ReusedExchange, AQE on
+    or off), so tfc is persisted — one corpus scan + explode instead
+    of two — and released via the dedup family's eager-checkpoint
+    epilogue (the RESULT is small: ``TFIDF_K`` rows/doc)."""
+    docs = _docs(spark, sf_dir).withColumn("_toks", TX.tokens(F.col("text")))
+    tfc = (
+        docs.select("doc_id", F.explode(F.col("_toks")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.floor(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tfc.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_micro", score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    result = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+    )
+    return DD._finish(result, [tfc], eager_release=True)
+
+
 def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/url.py) checked per-row against
     an external engine.  Messy URLs are constructed DETERMINISTICALLY
@@ -1376,6 +1431,27 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {m} <> 0"""
 
 
+def _sql_tfidf_topk() -> str:
+    # identical integer micro-score + (score, term) ranking — see the
+    # Spark docstring for why the snap makes libm-ln parity a non-issue
+    return f"""WITH {_TOKS},
+tfc AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tfc GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+    CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
+         AS BIGINT) AS score_micro
+  FROM tf JOIN dfc USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, df, score_micro, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {TFIDF_K}"""
+
+
 def _sql_url_canonicalize() -> str:
     # identical messy-URL construction, then the canonicalization rules
     # transliterated to DuckDB RE2 (backrefs \1, explicit 'g' flag where
@@ -1562,6 +1638,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_quality_filter": text_quality_filter,
     "text_decontaminate": text_decontaminate,
+    "text_tfidf_topk": text_tfidf_topk,
     "web_url_canonicalize": web_url_canonicalize,
     "web_text_extract": web_text_extract,
     "dedup_exact": dedup_exact,
@@ -1600,6 +1677,7 @@ def oracles() -> dict[str, str]:
         "text_fingerprint": _sql_fingerprint(),
         "text_quality_filter": _sql_quality_filter(),
         "text_decontaminate": _sql_decontaminate(),
+        "text_tfidf_topk": _sql_tfidf_topk(),
         "web_url_canonicalize": _sql_url_canonicalize(),
         "web_text_extract": _sql_web_text_extract(),
         "dedup_exact": _sql_dedup_exact(),

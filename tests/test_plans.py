@@ -250,3 +250,40 @@ def test_decontaminate_is_broadcast_semi_no_corpus_shuffle(spark):
     # exchanges: bench-gram distinct (1) + per-doc count (1) + the two
     # broadcasts — but no sort-merge-join exchange pair on the corpus
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_topk_pushes_group_limit_and_releases_tfc(spark, monkeypatch):
+    """N32 shape: the per-doc top-k must use Spark's WindowGroupLimit
+    pushdown (partial top-k before the exchange, not a full per-doc
+    sort of every term), and the persisted (doc,term) counts frame is
+    released once the small result is checkpointed (dedup-family
+    hygiene)."""
+    from bigquery_delta_plugins_spark.plans import pipeline_queries as P
+
+    # the shipped query eagerly checkpoints via DD._finish (its explain
+    # is just the checkpoint scan) — bypass the epilogue to read the
+    # REAL plan, then run the shipped path for the hygiene assertion
+    released = []
+    monkeypatch.setattr(
+        P.DD, "_finish",
+        lambda result, releases, eager_release: (released.extend(releases), result)[1],
+    )
+    plan = plan_of(P.text_tfidf_topk(spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in plan, plan
+    for df_ in released:
+        df_.unpersist()
+    monkeypatch.undo()
+
+    sc = spark.sparkContext
+    pre = {
+        i.id() for i in sc._jsc.sc().getRDDStorageInfo()
+        if i.memSize() + i.diskSize() > 0
+    }
+    df = P.text_tfidf_topk(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    remaining = [
+        i for i in sc._jsc.sc().getRDDStorageInfo()
+        if i.memSize() + i.diskSize() > 0 and i.id() not in pre
+    ]
+    # only the (tiny) checkpointed result may linger, never the tfc index
+    assert len(remaining) <= 1, [(i.name(), i.memSize()) for i in remaining]
