@@ -433,6 +433,72 @@ def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_by_count(ev, "user_id", TOPK_USERS)
 
 
+KMV_K = 64  # sketch size: ~1/sqrt(64) ≈ 12% expected relative error
+
+
+def events_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV (k-minimum-values) distinct-count sketch per
+    event_type (Bar-Yossef et al. 2002): keep the ``KMV_K`` smallest
+    md5-hash values of user_id; estimate distinct users as
+    ``(k-1)·2^32/(h_k+1)``.  Unlike HLL/theta sketches, KMV is a pure
+    deterministic function of the input hashes, so the ESTIMATE itself
+    is oracle-checkable bit-for-bit: every arithmetic step is exact
+    integer or a single IEEE-754 correctly-rounded double op — no libm.
+
+    Scale shape: the distinct-(group, hash) agg map-side-combines; the
+    k smallest per group ride WindowGroupLimit pushdown (each partition
+    forwards at most k rows per group — bounded state, and k-min sets
+    MERGE across partitions/streams by construction, which is why
+    production pipelines checkpoint them per micro-batch).  The
+    ``n_exact`` audit column is a second agg off the PERSISTED distinct
+    frame (released via the dedup-family epilogue) — at real scale you
+    drop it; it exists here to let the oracle grade the estimate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the hash is salted with the group key: equally valid for a
+    # within-group distinct count, and it decorrelates the per-group
+    # sketches (the synthetic corpus gives every event_type the same
+    # user set — unsalted, all five sketches would be identical draws)
+    h = (
+        ev.select(
+            "event_type",
+            TX.hash32(
+                F.concat_ws("|", F.col("event_type"),
+                            F.col("user_id").cast("string"))
+            ).alias("hv"),
+        )
+        .distinct()
+        .persist()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("h_k"))
+    )
+    ex = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch")).otherwise(
+        F.floor(
+            F.lit(float(KMV_K - 1)) * F.lit(4294967296.0) / (F.col("h_k") + 1)
+            + F.lit(0.5)
+        )
+    ).cast("long")
+    result = (
+        ex.join(sk, "event_type")
+        .withColumn("kmv_estimate", est)
+        .withColumn(
+            "rel_err_micro",
+            F.floor(
+                F.abs(F.col("kmv_estimate") - F.col("n_exact")) * 1000000.0
+                / F.col("n_exact")
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .select("event_type", "n_exact", "kmv_estimate", "rel_err_micro")
+    )
+    return DD._finish(result, [h], eager_release=True)
+
+
 def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 15-min event-time windows with order-independent
     aggregates (operators/windows.py) — the batch twin of the
@@ -1613,6 +1679,29 @@ def _sql_topk_users() -> str:
     )
 
 
+def _sql_kmv_cardinality() -> str:
+    h32 = _H32.format(x="event_type || '|' || CAST(user_id AS VARCHAR)")
+    k = KMV_K
+    return f"""WITH h AS (
+  SELECT DISTINCT event_type, {h32} AS hv FROM events),
+ranked AS (
+  SELECT event_type, hv, row_number() OVER (
+    PARTITION BY event_type ORDER BY hv ASC) AS rn FROM h),
+sk AS (SELECT event_type, count(*) AS n_sketch, max(hv) AS h_k
+       FROM ranked WHERE rn <= {k} GROUP BY 1),
+ex AS (SELECT event_type, count(*) AS n_exact FROM h GROUP BY 1),
+j AS (
+  SELECT e.event_type, e.n_exact,
+    CAST(CASE WHEN s.n_sketch < {k} THEN s.n_sketch
+         ELSE floor({k - 1} * 4294967296.0 / (s.h_k + 1) + 0.5)
+         END AS BIGINT) AS kmv_estimate
+  FROM ex e JOIN sk s USING (event_type))
+SELECT event_type, n_exact, kmv_estimate,
+  CAST(floor(abs(kmv_estimate - n_exact) * 1000000.0 / n_exact + 0.5)
+       AS BIGINT) AS rel_err_micro
+FROM j"""
+
+
 def _sql_multimodal() -> str:
     # NOTE: this oracle uses character functions (substr/ord return
     # codepoints, strlen counts bytes); it equals the engine's BYTE
@@ -1656,6 +1745,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "events_sessionize": events_sessionize,
     "events_windowed_counts": events_windowed_counts,
+    "events_kmv_cardinality": events_kmv_cardinality,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "tpch_pricing_summary": tpch_pricing_summary,
@@ -1695,6 +1785,7 @@ def oracles() -> dict[str, str]:
         "multimodal_features": _sql_multimodal(),
         "events_sessionize": _sql_sessionize(),
         "events_windowed_counts": _sql_windowed_counts(),
+        "events_kmv_cardinality": _sql_kmv_cardinality(),
         "events_funnel": _sql_funnel(),
         "events_retention": _sql_retention(),
         "tpch_pricing_summary": _sql_tpch_q1(),
