@@ -1,0 +1,75 @@
+"""KMV sketch: the streaming twin's final estimate must equal the
+batch sketch over the same rows — the mergeability contract
+(kmin_k(A ∪ B) = kmin_k(kmin_k(A) ∪ kmin_k(B))) made observable."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from bigquery_delta_plugins_spark.functions.text import hash32
+from bigquery_delta_plugins_spark.operators.sketch import kmv_estimate, kmv_stream
+from bigquery_delta_plugins_spark.plans.pipeline_queries import (
+    KMV_K,
+    events_kmv_cardinality,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _hashed(df):
+    # identical salted hash to the batch query's
+    return df.select(
+        "event_type",
+        hash32(
+            F.concat_ws("|", F.col("event_type"), F.col("user_id").cast("string"))
+        ).alias("hv"),
+    )
+
+
+def test_kmv_estimate_below_capacity_is_exact():
+    assert kmv_estimate([5, 9, 100], 64) == 3
+    assert kmv_estimate([], 64) == 0
+
+
+def test_kmv_stream_matches_batch_sketch(spark, tmp_path):
+    """Split the events table into three micro-batch files, stream them
+    through the stateful sketch, and assert the LAST emitted estimate
+    per group equals the batch query's — regardless of how rows were
+    batched (mergeability)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events_dir = str(tmp_path / "ev")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+        time.sleep(1.3)  # distinct mtimes => deterministic file order
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        kmv_stream(_hashed(stream), "event_type", "hv", k=KMV_K)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(out_dir)
+    last = {
+        r["group"]: r["kmv_estimate"]
+        for r in emitted.orderBy("n_batches").collect()
+    }  # later batches overwrite: dict keeps the final estimate per group
+    batch = {
+        r["event_type"]: r["kmv_estimate"]
+        for r in events_kmv_cardinality(spark, SF_DIR).collect()
+    }
+    assert last == batch, (last, batch)
+    # every group saw every micro-batch and state stayed bounded
+    assert emitted.groupBy("group").count().agg(F.min("count")).first()[0] == 3
