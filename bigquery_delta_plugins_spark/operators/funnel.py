@@ -38,10 +38,25 @@ def funnel_counts(
     if not steps:
         raise ValueError("steps must be non-empty")
     step_arr = F.array(*[F.lit(s) for s in steps])
+    # Only FUNNEL-STEP events enter the aggregation buffer:
+    # ``collect_list`` skips NULLs, so wrapping the struct in a
+    # ``when(step isin steps)`` guard keeps every user in the groupBy
+    # (all-non-step users still land in the depth-0 bucket) while the
+    # per-user buffer shrinks from ALL of the user's events to just the
+    # funnel-step ones — a bot user with 10M non-step events no longer
+    # materializes a 10M-element array in one aggregation buffer.
+    # Result-identical: non-step events can never advance the fold
+    # (their ``s`` never equals ``step_arr[acc]``), and dropping them
+    # preserves the relative ``order_col`` order of the step events.
     seq = F.transform(
         F.sort_array(
-            F.collect_list(F.struct(F.col(order_col).alias("o"),
-                                    F.col(step_col).alias("s")))
+            F.collect_list(
+                F.when(
+                    F.col(step_col).isin(steps),
+                    F.struct(F.col(order_col).alias("o"),
+                             F.col(step_col).alias("s")),
+                )
+            )
         ),
         lambda x: x["s"],
     )

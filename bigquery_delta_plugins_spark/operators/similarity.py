@@ -302,6 +302,88 @@ def cosine_pairs(
     )
 
 
+def _banded_pairs_kernel(threshold: float, id_dtype_is_object: bool = False):
+    """Per-(table, bucket) all-pairs kernel for the banded cosine search.
+
+    Each group holds the bucket's (id, vector) rows ONCE; the kernel
+    emits only the surviving pairs.  Two phases:
+
+    1. **Gram prefilter** (BLAS ``V @ V.T``): an *approximate* cosine
+       per pair.  Any float64 dot product, regardless of summation
+       order, satisfies ``|fl(dot) - dot| <= n*u*sum|a_i*b_i|`` with
+       ``u = 2^-53``; dividing by the norms and applying Cauchy-Schwarz
+       bounds the cosine discrepancy vs the sequential fold by
+       ``~2*n*u ≈ 1.4e-14`` at dim 64.  The prefilter keeps every pair
+       with approx cosine >= threshold - 1e-6 (a ~10^8x safety margin)
+       plus every non-finite result — so no pair the exact fold would
+       accept is ever dropped.
+    2. **Exact fold on survivors**: the reference index-ordered left
+       fold (:func:`_fold_dot`) + the same ``dot / na / nb`` division
+       order, so emitted cosines are bit-identical to the interpreted
+       JVM fold and the DuckDB oracle.
+
+    The final keep mirrors Catalyst's ``cosine >= threshold`` NaN
+    semantics (Spark orders NaN above every double, so NaN passes)."""
+    margin = 1e-6
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pdf["id"].iloc[:0],
+                "id_b": pdf["id"].iloc[:0],
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids_raw = pdf["id"].to_numpy()
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt(_fold_dot(V, V))
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        # chunk rows so the chunk x n Gram slab stays ~64 MB
+        ch = max(1, int(8_000_000 // n))
+        col_idx = np.arange(n)
+        for s in range(0, n - 1, ch):
+            e = min(s + ch, n)
+            G = V[s:e] @ V.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                approx = G / nrm[s:e, None] / nrm[None, :]
+            # upper triangle only (id_a < id_b) and NOT provably below
+            # threshold (keeps NaN/inf for the exact pass to decide)
+            mask = (col_idx[None, :] > (s + np.arange(e - s))[:, None]) & ~(
+                approx < threshold - margin
+            )
+            ia, jb = np.nonzero(mask)
+            if len(ia) == 0:
+                continue
+            ia = ia + s
+            dots = _fold_dot(V[ia], V[jb])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / nrm[ia] / nrm[jb]
+            keep = (cos >= threshold) | np.isnan(cos)
+            # duplicate ids in the input never self-pair (the join form's
+            # ``id_a < id_b``); sorted order makes this the only case
+            # where ids[i] == ids[j] with i < j
+            keep &= ids[ia] != ids[jb]
+            out_a.append(ia[keep])
+            out_b.append(jb[keep])
+            out_c.append(cos[keep])
+        if not out_a:
+            return empty
+        ia = np.concatenate(out_a)
+        jb = np.concatenate(out_b)
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[jb], "cosine": np.concatenate(out_c)}
+        )
+
+    return kernel
+
+
 def cosine_pairs_banded(
     df: DataFrame,
     id_col: str,
@@ -317,79 +399,59 @@ def cosine_pairs_banded(
 
     Candidate pairs are restricted to vectors sharing a sign-LSH bucket
     (``planes`` hyperplanes -> 2^planes buckets), so the compare count
-    is sum over buckets of |bucket|^2/2 instead of n^2/2 — an equi-join
-    Catalyst shuffles by bucket (AQE splits a skewed bucket).  Exact
-    cosine within the bucket, so there are no false positives; recall is
-    the only loss axis.
+    is sum over buckets of |bucket|^2/2 instead of n^2/2.  Exact cosine
+    within the bucket, so there are no false positives; recall is the
+    only loss axis.
 
     ``n_tables`` > 1 is the classic multi-table LSH recall lever: L
     INDEPENDENT hyperplane sets, candidates = union of per-table bucket
-    collisions (joined on (table, bucket) — still an equi-join), pairs
-    deduped before the threshold filter.  A pair with per-plane
-    collision probability q survives one table with q^p but L tables
-    with 1-(1-q^p)^L — measured on the sf0.01 corpus this lifts pair
-    recall 0.20 (1 table) -> ~0.7 (8 tables); the recall/cost point is
-    audited numerically by plans/recall.py against ``cosine_pairs``.
+    collisions, pairs deduped before the threshold filter.  A pair with
+    per-plane collision probability q survives one table with q^p but L
+    tables with 1-(1-q^p)^L — measured on the sf0.01 corpus this lifts
+    pair recall 0.20 (1 table) -> ~0.7 (8 tables); the recall/cost
+    point is audited numerically by plans/recall.py against
+    ``cosine_pairs``.
 
-    Plan shape: candidate *pairs* are deduped FIRST — ``(id_a, id_b)``
-    distinct straight off the (tbl, bucket) equi-join — and only then
-    are vectors/norms joined back for ONE exact-cosine fold per
-    surviving pair (the candidate-restricted pattern ``_pair_jaccard``
-    uses).  Computing the cosine per *collision* and deduping the
-    (id_a, id_b, cosine-double) tuple afterwards runs the interpreted
-    dot fold up to ``n_tables``× per pair — measured 6.7× slower on the
-    sf0.1 corpus at 10 tables."""
-    # persisted: base carries the vector + norm + bucket array from ONE
-    # fused Arrow pass (vec_norm_buckets) — separate norm/bucket UDFs
-    # would ship every vector to Python twice; keys (id, tbl, bucket)
-    # explodes the precomputed array JVM-side and feeds both self-join
-    # sides.
-    nb = vec_norm_buckets(F.col(vec_col), planes, dim, n_tables)
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  nb.alias("__nb"))
-        .select("id", "v", F.col("__nb.nrm").alias("nrm"),
-                F.col("__nb.buckets").alias("__bkts"))
-        .persist()
+    Plan shape (optimization round 6): each vector ships to Python ONCE
+    per (table, bucket) — posexplode of the bucket array feeds a
+    ``groupBy(tbl, bucket).applyInPandas`` kernel that runs the whole
+    bucket's pair search in one Arrow batch (BLAS Gram prefilter +
+    exact fold on survivors, see :func:`_banded_pairs_kernel`) and
+    emits only the pairs above threshold.  The previous join-based plan
+    hydrated BOTH vectors per *candidate pair* through ArrowEvalPython
+    — at sf1.0 (20k vectors, 6 tables, 8 buckets) that was ~150M
+    candidate collisions x 1 KB of vector payload ≈ 150 GB across the
+    Python boundary, measured 211-304 s; the grouped kernel ships
+    ~40 MB and runs in seconds.  Survivors are ``distinct``-ed across
+    tables (cosines are bit-identical in every table, so the tuple
+    dedup equals the old pair-first dedup).  At 100 TB the per-bucket
+    group is one task — size ``planes``/``n_tables`` so a bucket fits a
+    task (the same knob that bounds the candidate quadratic)."""
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    keys = base.select(
-        "id", F.posexplode(F.col("__bkts")).alias("tbl", "bucket")
-    ).persist()
-    pairs = (
-        keys.select(F.col("id").alias("id_a"), "tbl", "bucket")
-        .join(keys.select(F.col("id").alias("id_b"), "tbl", "bucket"),
-              ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()  # a pair colliding in several tables counts once
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(
+            vec_bucket_array(F.col(vec_col), planes, dim, n_tables)
+        ).alias("tbl", "bucket"),
     )
     result = (
-        pairs.join(
-            base.select(
-                F.col("id").alias("id_a"), F.col("v").alias("va"),
-                F.col("nrm").alias("na"),
-            ),
-            "id_a",
-        )
-        .join(
-            base.select(
-                F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                F.col("nrm").alias("nb"),
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (vec_dot(F.col("va"), F.col("vb")) / F.col("na") / F.col("nb")).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
+        keyed.groupBy("tbl", "bucket")
+        .applyInPandas(_banded_pairs_kernel(threshold), out_schema)
+        .distinct()  # a pair colliding in several tables counts once
     )
     from .dedup import _finish
 
-    return _finish(result, [base, keys], eager_release)
+    return _finish(result, [], eager_release)
 
 
 def _topk(joined: DataFrame, k: int) -> DataFrame:

@@ -313,8 +313,11 @@ def cdc_json_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives the codec byte-exactly.  Both directions are codegen'd
     JVM projections; value flows through deterministic integer cents."""
     from ..sources.json_events import parse_staged_json, staged_json_lines
+    from .pipeline_queries import _spread
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the events file is a single row group -> a one-task scan; spread
+    # the per-row JVM codec work across the cluster (guide §2.5)
+    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     rt = parse_staged_json(staged_json_lines(ev), ev.schema)
     return rt.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -340,8 +343,11 @@ def cdc_avro_staging_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORIGINAL parquet proves every staged type (int64, double, string,
     micros timestamp) survives the encode->decode byte path exactly."""
     from ..sources.avro_staging import roundtrip_through_container
+    from .pipeline_queries import _spread
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single-row-group input: without the spread the whole pure-Python
+    # container encode/decode runs in ONE task (measured 19 s at sf1.0)
+    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     rt = roundtrip_through_container(ev)
     return rt.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -60,12 +60,41 @@ IVF_NPROBE = 4
 EMBED_DIM = 64
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Distribute a scan whose split count starves the cluster (guide
+    §2.5: "one huge unsplittable file ... repartition immediately after
+    the read").  The sf corpus tables are SINGLE-ROW-GROUP parquet
+    files, and a row group is parquet's split atom — byte-range splits
+    cannot divide it, so every downstream per-row stage (interpreted
+    HOF shingling, regex chains, Arrow kernels, Python codecs) runs as
+    ONE task regardless of ``maxPartitionBytes``.  Measured at sf1.0:
+    text_repetition 12.9 s -> ~1 s class wins across the text/dedup
+    suite for a ~15 MB exchange.
+
+    Scale-adaptive, not local-tuned: when the scan already yields at
+    least half of ``defaultParallelism`` partitions (any real multi-GB
+    table) this is a NO-OP — a 100 TB corpus is never re-shuffled.  The
+    repartition key is the deterministic id column, never round-robin:
+    retried tasks must reproduce the same row->partition assignment
+    (SPARK-38388), and hash-on-id skips round-robin's
+    sort-before-repartition of the single input partition."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — spread is an optimization
+        return df
+    if cur * 2 >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
 
 
 # --------------------------------------------------------------- text stats
@@ -754,10 +783,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (the part that matters at 100 TB): the benchmark n-gram
     set is bounded by the EVAL suite size (MBs, not corpus-sized), so it
-    broadcasts — the training corpus is scanned once, its per-doc
-    distinct grams explode in place, survive a broadcast LEFT SEMI join,
-    and collapse map-side in the per-doc count (explode preserves doc
-    locality, so the partial agg sees ~1 row per doc before the
+    broadcasts — the training corpus is tokenized ONCE (the (doc, gram)
+    explode is persisted and consumed by the bench branch, the training
+    branch, and released via the dedup family's eager-checkpoint
+    epilogue), its per-doc distinct grams survive a broadcast LEFT SEMI
+    join and collapse map-side in the per-doc count (explode preserves
+    doc locality, so the partial agg sees ~1 row per doc before the
     shuffle).  The zero-fill join back to the doc list runs against only
     the CONTAMINATED doc ids (usually tiny; AQE picks broadcast at
     runtime — not hinted, because adversarially it can be corpus-sized).
@@ -768,7 +799,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(TX.ngram_array(F.col("_toks"), DECON_K))
         ).alias("gram"),
-    )
+    ).persist()
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench_grams = grams.filter(is_bench).select("gram").distinct()
     hits = (
@@ -778,7 +809,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
     )
     n = F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)).cast("long")
-    return (
+    result = (
         docs.filter(~is_bench)
         .select("doc_id")
         .join(hits, "doc_id", "left")
@@ -788,13 +819,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n > 0).alias("contaminated"),
         )
     )
+    return DD._finish(result, [grams], eager_release=True)
 
 
 PACK_BUDGET = 512  # tokens per training bin
 PACK_BUCKETS = 16  # packing parallelism: bins never cross buckets
 
 
-def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_pack_bins(
+    spark: SparkSession, sf_dir: str, *, buckets: int = PACK_BUCKETS
+) -> DataFrame:
     """Sequence packing — assign documents to fixed token-budget
     training bins, the batching step every pre-train data loader runs
     so short documents don't waste context-window padding.  Docs are
@@ -809,6 +843,12 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent partition (`Window.partitionBy(bucket)`), i.e. one
     shuffle and embarrassing parallelism, at the cost of ≤1 underfull
     trailing bin per bucket (bounded waste: buckets × budget tokens).
+    ``buckets`` is the parallelism knob and MUST scale with the input:
+    at 100 TB set buckets ≈ total-cores × a small multiple (each window
+    partition owns corpus/buckets tokens; the waste bound is
+    buckets × budget TOKENS — absolute, not a corpus fraction — so
+    over-provisioning buckets is nearly free).  The driver query keeps
+    the default (16), which its frozen oracle mirrors.
     Docs longer than the budget get a bin of their own (standard
     packing behavior; cumsum semantics keep them deterministic), and a
     doc whose token run crosses a boundary belongs to the bin its run
@@ -818,7 +858,7 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
-        (TX.hash32(F.col("doc_id").cast("string")) % PACK_BUCKETS).alias("bucket"),
+        (TX.hash32(F.col("doc_id").cast("string")) % buckets).alias("bucket"),
         TX.hash32(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias(
             "ord_h"
         ),
@@ -905,7 +945,7 @@ def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst projection: at 100 TB this runs inside the scan stage."""
     from ..functions.url import canonicalize_url
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     m = F.col("doc_id")
     s = lambda c: c.cast("string")
     url = F.concat(

@@ -436,3 +436,38 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     time.sleep(0.2)
     got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out_dir).collect()}
     assert got == {(1, "alpha"), (2, "beta"), (4, "gamma")}
+
+
+@pytest.mark.parametrize("buckets", [4, 16])
+def test_pack_bins_bucket_count_parameterized(spark, buckets):
+    """corpus_pack_bins' parallelism knob (optimization r6): the pack is
+    oracle-exact at ANY bucket count — verified by independently
+    replaying the deterministic spec (md5 bucket/order hashes + greedy
+    cumsum) in Python over the returned token counts."""
+    from bigquery_delta_plugins_spark.plans.pipeline_queries import (
+        PACK_BUDGET,
+        corpus_pack_bins,
+    )
+
+    out = corpus_pack_bins(spark, "/root/testdata/sf0.01", buckets=buckets).collect()
+    assert len(out) > 0
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = [(r["doc_id"], r["n_tokens"], r["bucket"], r["bin_in_bucket"]) for r in out]
+    # bucket assignment replays exactly
+    assert all(b == h32(str(d)) % buckets for d, _, b, _ in rows)
+    # greedy pack replays exactly: per bucket, order by (ord_h, doc_id),
+    # cumsum tokens, bin = floor((cum-1)/budget)
+    by_bucket: dict = {}
+    for d, n, b, bib in rows:
+        by_bucket.setdefault(b, []).append((h32(f"pack:{d}"), d, n, bib))
+    n_bins = 0
+    for b, docs_in in by_bucket.items():
+        cum = 0
+        for _, _, n, bib in sorted(docs_in):
+            cum += n
+            assert bib == (cum - 1) // PACK_BUDGET
+        n_bins += len({bib for *_, bib in docs_in})
+    assert n_bins >= buckets  # every bucket packed at least one bin

@@ -234,16 +234,24 @@ def test_late_shipments_window_pushed_single_agg(spark):
     assert plan.count("HashAggregate") <= 4, plan
 
 
-def test_decontaminate_is_broadcast_semi_no_corpus_shuffle(spark):
+def test_decontaminate_is_broadcast_semi_no_corpus_shuffle(spark, monkeypatch):
     """N31 shape: the (eval-suite-bounded) benchmark gram set broadcasts
     into a LEFT SEMI over the corpus's exploded grams — the corpus side
     must never be exchange-partitioned by gram, and nothing may fall
     back to a nested-loop/cartesian join."""
-    from bigquery_delta_plugins_spark.plans.pipeline_queries import (
-        text_decontaminate,
-    )
+    from bigquery_delta_plugins_spark.plans import pipeline_queries as P
 
-    plan = plan_of(text_decontaminate(spark, "/root/testdata/sf0.001"))
+    # the shipped query eagerly checkpoints the result and releases the
+    # persisted gram index (r6: the corpus is tokenized once) — bypass
+    # the epilogue to read the REAL plan
+    released = []
+    monkeypatch.setattr(
+        P.DD, "_finish",
+        lambda result, releases, eager_release: (released.extend(releases), result)[1],
+    )
+    plan = plan_of(P.text_decontaminate(spark, "/root/testdata/sf0.001"))
+    for df_ in released:
+        df_.unpersist()
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan

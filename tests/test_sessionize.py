@@ -163,3 +163,46 @@ def test_funnel_counts_greedy_subsequence(spark):
         ).collect()
     }
     assert got == {3: 1, 1: 1, 0: 1, 2: 1}
+
+
+def test_funnel_buffer_excludes_non_step_events(spark):
+    """Optimization r6: only funnel-step events enter the per-user
+    collect_list buffer (a bot user with millions of non-step events
+    must not materialize them in one aggregation buffer), users whose
+    events are ALL non-step still count at depth 0, and the result is
+    unchanged."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from bigquery_delta_plugins_spark.operators.funnel import funnel_counts
+
+    # one bot user (id 0) with 1M non-step events + a sprinkle of real
+    # funnel users, including user 3 with ONLY non-step events
+    bot = spark.range(1_000_000).select(
+        F.lit(0).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.lit("view").alias("event_type"),
+    )
+    rows = [
+        (0, 2_000_000, "signup"), (0, 2_000_001, "click"),
+        (1, 1, "signup"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "signup"),
+        (3, 1, "view"), (3, 2, "scroll"),  # depth 0, never filtered out
+    ]
+    ev = bot.unionByName(
+        spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    )
+    df = funnel_counts(ev, "user_id", "event_id", "event_type",
+                       ["signup", "click", "purchase"])
+    # the step filter sits BELOW the aggregate: the collected struct is
+    # null-guarded on the step set, so non-step rows never enter the
+    # partial-aggregation buffer
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "collect_list(CASE WHEN" in plan, plan
+    got = {r["steps_reached"]: r["n_users"] for r in df.collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}

