@@ -52,7 +52,16 @@ def shingle_array(toks: Column, k: int = 3) -> Column:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) with per-doc distinct shingles (set semantics)."""
+    """(id, shingle) with per-doc distinct shingles (set semantics).
+
+    The explode MUST sit in the same projection as the shingling chain:
+    splitting them into two selects lets the Generate inline the array
+    expression and re-evaluate the interpreted HOF chain per OUTPUT
+    element (the shingle_array docstring's capture pitfall, measured
+    1.3 s -> 23 s at sf1.0 in r6).  Callers that also want the array
+    form derive the exploded index from a PERSISTED
+    :func:`shingle_sets` instead — the cache boundary cuts the
+    expression, so the explode reads materialized arrays."""
     return (
         df.withColumn("__toks", tokens(F.col(text_col)))
         .select(
@@ -61,6 +70,21 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
                 F.array_distinct(shingle_array(F.col("__toks"), k))
             ).alias("shingle"),
         )
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, sh_set) — the per-doc DISTINCT shingle set as one array row.
+    The array form is the cache/join currency of the pair operators
+    (r6): persisting (id, array) costs the same bytes as the exploded
+    index but hydrates a candidate pair in one row per side, and
+    ``array_intersect`` computes |A∩B| without re-exploding.  ALWAYS
+    persist this frame before deriving an exploded index from it (see
+    :func:`shingles` — an un-materialized two-step explode re-runs the
+    HOF chain per element)."""
+    return df.withColumn("__toks", tokens(F.col(text_col))).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_array(F.col("__toks"), k)).alias("sh_set"),
     )
 
 
@@ -117,8 +141,14 @@ def _pair_jaccard(
         releases.append(sh)
     cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if pairs is None:
+        # the inverted-index self-join is corpus-sized on BOTH sides —
+        # force a shuffled hash join (guide §3.1): Catalyst's size
+        # estimate for the exploded index flows from the small pre-
+        # explode scan, and the resulting broadcast of the multi-
+        # million-row index measured 26-30 s vs ~2.5 s shuffled
+        # (r6; the estimate, not the data, is what's small)
         common = (
-            sh.alias("a")
+            sh.alias("a").hint("shuffle_hash")
             .join(
                 sh.alias("b"),
                 (F.col("a.shingle") == F.col("b.shingle"))
@@ -147,6 +177,54 @@ def _pair_jaccard(
             (
                 F.col("common")
                 / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def _pair_jaccard_sets(
+    sets: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate-restricted Jaccard over per-doc shingle ARRAYS (r6).
+
+    The exploded-index form (:func:`_pair_jaccard` with ``pairs``)
+    expands every candidate pair through the (id, shingle) index twice
+    — at sf1.0 that is two multi-million-row joins plus a pair-count
+    aggregation, measured 4.3 s of the minhash query.  Hydrating the
+    two DISTINCT shingle arrays per pair and intersecting them in one
+    projection produces the identical |A∩B| (both sides are distinct
+    sets, so every common shingle matched exactly once in the join
+    form) and the identical ``common / (na + nb - common)`` division —
+    integer sizes convert to double exactly, so the jaccard doubles are
+    bit-identical and the oracle hash is unchanged.  A pair with zero
+    common shingles yields jaccard 0 here where the join form dropped
+    the group — both fall to the same >=threshold filter.
+
+    Join shape: shuffled hash joins keyed on the doc id — hinted, so a
+    bad pre-materialization size estimate of the cached array frame can
+    never pick a broadcast of the corpus-sized sets side (the candidate
+    list is collision-bounded but the SETS side scales with the
+    corpus)."""
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("__sa"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("__sb"))
+    j = (
+        pairs.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).alias(
+                "common"
+            ),
+            F.size(F.col("__sa")).alias("na"),
+            F.size(F.col("__sb")).alias("nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
             ).alias("jaccard"),
         )
     )
@@ -201,9 +279,16 @@ def minhash_lsh_pairs(
     standard permutation surrogate that is exactly reproducible in any
     engine with md5.  One aggregation computes all ``num_hashes`` mins
     (map-side partial agg); candidates join on (band index, band hash).
-    """
+
+    The corpus is tokenized ONCE into persisted per-doc shingle ARRAYS
+    (:func:`shingle_sets`): the signature aggregation explodes the
+    cached arrays (a cheap JVM explode — the expensive interpreted-HOF
+    shingling is not recomputed) and the Jaccard verify hydrates the
+    same arrays per candidate pair (:func:`_pair_jaccard_sets`) instead
+    of re-joining the exploded index."""
     r = num_hashes // bands
-    sh = shingles(df, id_col, text_col, k)
+    sets = shingle_sets(df, id_col, text_col, k).persist()
+    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     sig = sh.groupBy("id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"mh_{h}")
@@ -222,7 +307,7 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.posexplode(band_vals).alias("band_idx", "band_val")
     ).persist()
-    releases: list = [banded]
+    releases: list = [sets, banded]
     cand = (
         banded.alias("a")
         .join(
@@ -235,7 +320,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return _finish(
-        _pair_jaccard(sh, cand, threshold, releases), releases, eager_release
+        _pair_jaccard_sets(sets, cand, threshold), releases, eager_release
     )
 
 
@@ -288,10 +373,13 @@ def simhash_pairs(
     per-bit token majorities, which collapses unigram SimHash into a few
     mega-clusters (measured: 777k candidate pairs within hamming<=2 over
     5k docs — quadratic blow-up).  Shingles are document-specific, so
-    only true near-dups collide; the same persisted shingle index then
-    feeds the Jaccard verify — one feature pass for the whole query."""
-    sh = shingles(df, id_col, text_col, k).persist()
-    releases: list = [sh]
+    only true near-dups collide; the same persisted shingle-ARRAY index
+    (r6: tokenized once, explode is a cheap JVM pass over the cache)
+    feeds both the fingerprint and the array-intersect Jaccard verify —
+    one feature pass for the whole query."""
+    sets = shingle_sets(df, id_col, text_col, k).persist()
+    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
+    releases: list = [sets]
     sim = _simhash_from_features(sh, "shingle")
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     bands = F.array(
@@ -326,7 +414,7 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    verified = _pair_jaccard(sh, cand.select("id_a", "id_b"), threshold, releases)
+    verified = _pair_jaccard_sets(sets, cand.select("id_a", "id_b"), threshold)
     result = verified.join(cand, ["id_a", "id_b"]).select(
         "id_a", "id_b", "hamming", "jaccard"
     )
@@ -570,7 +658,73 @@ def connected_components(
         )
         .persist()
     )
+    # Size-adaptive iteration width (r6): every round is a chain of
+    # shuffles whose MAP task count is inherited from the frontier's
+    # partitioning, and on a small pair graph (near-dup graphs are
+    # pairs-above-threshold, usually tiny relative to the corpus) a
+    # dozen rounds of full-width 32-task stages are pure scheduling
+    # overhead — measured 12.5 s -> ~5 s on the adversarial deep graph.
+    # ~250k edges per partition keeps per-task work modest; a billion-
+    # edge graph still iterates at full cluster width.  The count also
+    # materializes the persisted edge cache before iteration starts.
+    n_edges = edges.count()
+    edges_p = edges  # the persisted handle (coalesce wraps it below)
+    width = max(1, min(
+        edges.sparkSession.sparkContext.defaultParallelism,
+        n_edges // 250_000 + 1,
+    ))
+    if width < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(width)  # narrow dependency — no shuffle
     vertices = edges.select(F.col("src").alias("id")).distinct()
+    try:
+        return _cc_iterate(edges, vertices, label_rounds, max_iter, stats, width)
+    finally:
+        edges_p.unpersist()
+
+
+def _cc_iterate(
+    edges: DataFrame,
+    vertices: DataFrame,
+    label_rounds: int,
+    max_iter: int,
+    stats: dict,
+    width: int,
+) -> DataFrame:
+    """The iterative phases of :func:`connected_components`, run under
+    size-adapted shuffle settings.
+
+    Every round is ~7 sequential shuffle stages over the frontier; on a
+    SMALL graph (width below cluster parallelism) the wall is pure
+    per-stage scheduling — 32-wide shuffles and AQE's per-stage
+    re-planning round trips, not data.  Measured on the adversarial
+    deep graph (22k edges, 12 rounds): 11.0 s at session defaults,
+    5.8 s at shuffle.partitions=4 with AQE off.  The overrides are
+    derived from the MEASURED edge count (never constants tuned to one
+    box), applied only when the graph is small, and restored in
+    ``finally`` — a billion-edge graph iterates at full session width
+    with AQE skew handling intact."""
+    sess = edges.sparkSession
+    conf = sess.conf
+    small = width < sess.sparkContext.defaultParallelism
+    orig_sp = conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = conf.get("spark.sql.adaptive.enabled")
+    try:
+        if small:
+            conf.set("spark.sql.shuffle.partitions", str(max(4, width)))
+            conf.set("spark.sql.adaptive.enabled", "false")
+        return _cc_rounds(edges, vertices, label_rounds, max_iter, stats)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig_sp)
+        conf.set("spark.sql.adaptive.enabled", orig_aqe)
+
+
+def _cc_rounds(
+    edges: DataFrame,
+    vertices: DataFrame,
+    label_rounds: int,
+    max_iter: int,
+    stats: dict,
+) -> DataFrame:
 
     # ---------------------------------------------- phase 1: min-label
     prev_cp = vertices.withColumn("component", F.col("id")).localCheckpoint(
@@ -639,7 +793,7 @@ def connected_components(
             sig = new_sig
         if not converged:
             _release_checkpoint(star_cp)
-            edges.unpersist()
+            # (edge cache released by connected_components' finally)
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 "star rounds — impossible for a finite graph; indicates "
@@ -658,7 +812,7 @@ def connected_components(
 
     result = labels.localCheckpoint(eager=True)
     _release_checkpoint(prev_cp)
-    edges.unpersist()
+    # (edge cache released by connected_components' finally)
     return result
 
 
