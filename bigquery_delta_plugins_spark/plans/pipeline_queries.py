@@ -89,6 +89,40 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(target, F.col(key))
 
 
+def _fact(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a fact table with a scale-adaptive split size: target
+    ``clamp(file_bytes / defaultParallelism, 16 MB, 128 MB)`` so a
+    multi-row-group file splits to the cluster width (the sf1.0
+    lineitem is 131 MB / 6 row groups — at the default 128 MB it scans
+    as TWO tasks and the partial aggregation runs at 1/16 of the
+    machine).  At real scale bytes/parallelism exceeds 128 MB and this
+    is exactly the default again (guide §6 — large splits for large
+    sequential scans).  Session-conf based because split size cannot be
+    set per-read; every fact reader derives it the same way, so the
+    setting is deterministic per query."""
+    import os as _os
+
+    p = f"{sf_dir}/{table}.parquet"
+    try:
+        size = (
+            _os.path.getsize(p)
+            if _os.path.isfile(p)
+            else sum(
+                _os.path.getsize(_os.path.join(r, n))
+                for r, _d, ns in _os.walk(p)
+                for n in ns
+            )
+        )
+        target = max(
+            16 << 20,
+            min(128 << 20, size // spark.sparkContext.defaultParallelism),
+        )
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    except OSError:
+        pass
+    return spark.read.parquet(p)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
 
@@ -589,7 +623,7 @@ def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle compare is exact where naive double sums would drift
     with partition order.  Pure partial-agg groupBy; at 100 TB this is
     one map-side-combined shuffle of 4 tiny groups."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _fact(spark, sf_dir, "lineitem")
     cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
@@ -610,7 +644,10 @@ def tpch_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     |x| region, revenue per nation for orders from 1995 onward.  The
     dimension chain (customer/nation/region) broadcasts; the date filter
     pushes into the orders scan; revenue is exact integer cents."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    rd = lambda t: (
+        _fact(spark, sf_dir, t) if t in ("lineitem", "orders")
+        else spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    )
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
     ).cast("long")
@@ -643,7 +680,10 @@ def tpch_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the remaining provided tables (part, supplier); profit = revenue
     minus retail cost, both as deterministic integer cents.  Brand
     filter pushes into the part scan, which then broadcasts."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    rd = lambda t: (
+        _fact(spark, sf_dir, t) if t in ("lineitem", "orders")
+        else spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    )
     li = rd("lineitem")
     part = rd("part").filter(F.col("p_brand") == "Brand#1").select(
         "p_partkey", "p_retailprice"
@@ -684,7 +724,10 @@ def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heaps, no global sort
     materialization).  The ORDER BY is a total order — l_orderkey is in
     the group key — so the LIMIT is deterministic and oracle-exact."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    rd = lambda t: (
+        _fact(spark, sf_dir, t) if t in ("lineitem", "orders")
+        else spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    )
     cutoff = F.lit("1998-06-15").cast("timestamp_ntz")
     cust = (
         rd("customer")
@@ -716,7 +759,10 @@ def tpch_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed into the lineitem scan; the late/on-time split is a
     SUM(CASE) partial aggregate — one shuffle of 5 tiny groups, no
     second pass."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    rd = lambda t: (
+        _fact(spark, sf_dir, t) if t in ("lineitem", "orders")
+        else spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    )
     lo = F.lit("1996-01-01").cast("timestamp_ntz")
     hi = F.lit("1997-01-01").cast("timestamp_ntz")
     li = (
