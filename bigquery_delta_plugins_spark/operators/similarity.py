@@ -302,6 +302,47 @@ def cosine_pairs(
     )
 
 
+_BLAS_CAPPED = False
+
+
+def _cap_blas_threads(n: int = 1) -> None:
+    """Best-effort cap on OpenBLAS threading inside a Python worker.
+
+    Task-level parallelism already saturates the cluster (one bucket
+    group per task), so the kernel's Gram matmuls must run
+    single-threaded: an uncapped OpenBLAS spawns nproc threads PER
+    WORKER (32 workers x 32 threads here — measured as multi-second
+    jitter on the banded query).  numpy offers no API for this and the
+    env knob only works before the library loads, so the cap calls
+    ``openblas_set_num_threads`` on the already-loaded shared object
+    (guide §4.5 — per-task init, cached per worker process)."""
+    global _BLAS_CAPPED
+    if _BLAS_CAPPED:
+        return
+    _BLAS_CAPPED = True
+    try:
+        import ctypes
+        import glob
+        import os
+
+        base = os.path.dirname(np.__file__)
+        cands = (
+            glob.glob(os.path.join(os.path.dirname(base), "numpy.libs", "*openblas*"))
+            + glob.glob(os.path.join(base, ".libs", "*openblas*"))
+        )
+        for p in cands:
+            try:
+                lib = ctypes.CDLL(p)
+            except OSError:
+                continue
+            for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                if hasattr(lib, sym):
+                    getattr(lib, sym)(n)
+                    return
+    except Exception:  # noqa: BLE001 — the cap is an optimization
+        pass
+
+
 def _banded_pairs_kernel(threshold: float, id_dtype_is_object: bool = False):
     """Per-(table, bucket) all-pairs kernel for the banded cosine search.
 
@@ -327,6 +368,7 @@ def _banded_pairs_kernel(threshold: float, id_dtype_is_object: bool = False):
     margin = 1e-6
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        _cap_blas_threads(1)
         n = len(pdf)
         empty = pd.DataFrame(
             {

@@ -41,7 +41,12 @@ OP_CASE = (
 
 
 def staged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .pipeline_queries import _spread
+
+    # single-row-group input (see _spread): without this the staged
+    # projection AND the map side of flatten's pre-collapse aggregation
+    # run inside the one scan task
+    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     op = F.expr(OP_CASE)
     return ev.select(
         op.alias(C.OPERATION),
@@ -129,7 +134,9 @@ def staged_events_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns).  ``_key_0`` is NULL for ~1/13 of events to exercise the
     reference's backward-compat (timestamp, seq) fallback comparator
     (getOrderingCondition, BigQueryEventConsumer.java:1486-1558)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .pipeline_queries import _spread
+
+    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     op = F.expr(OP_CASE)
     return ev.select(
         op.alias(C.OPERATION),
