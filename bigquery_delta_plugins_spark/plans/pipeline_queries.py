@@ -936,7 +936,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is snapped to an integer micro-score
     (``floor(tf·ln(N/df)·1e6 + 0.5)``) and the per-doc ranking orders
     by that integer with the term string as tie-break, so a last-ulp
-    ``ln`` difference between libms cannot flip ranks or hashes.
+    ``ln`` difference between libms cannot flip ranks or hashes —
+    *statistically*: a residual boundary flip remains possible when
+    ``tf·ln(N/df)·1e6`` lands within one ulp of an exact ``x.5``
+    boundary AND the two libms round to opposite sides (probability
+    ~2^-40 per score at these magnitudes; make the score a pure
+    rational of (tf, df, N) if bit-certainty at any corpus size is
+    required).
 
     Scale shape: the (doc, term) counts partial-aggregate map-side
     (terms of one doc are partition-local after the explode); document
