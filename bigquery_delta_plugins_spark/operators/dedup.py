@@ -574,12 +574,17 @@ def _star_round(edges: DataFrame) -> DataFrame:
     mins = nbrs.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
+    # no intermediate distinct (r6): small-star's min-aggregations are
+    # duplicate-insensitive and the round's trailing distinct dedupes
+    # the output, so the per-round edge SET (and the fixpoint
+    # signature) is identical while the round runs one shuffle stage
+    # fewer; duplicate multiplicity is bounded by vertex degree (linear
+    # in edges, never quadratic)
     large = (
         nbrs.filter(F.col("dst") > F.col("src"))
         .join(mins, "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
     # ---- small-star
     oriented = large.select(

@@ -516,7 +516,9 @@ def events_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_exact`` audit column is a second agg off the PERSISTED distinct
     frame (released via the dedup-family epilogue) — at real scale you
     drop it; it exists here to let the oracle grade the estimate."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single-row-group input: spread so the per-row md5 of the partial
+    # distinct runs cluster-wide, not inside the one scan task
+    ev = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     # the hash is salted with the group key: equally valid for a
     # within-group distinct count, and it decorrelates the per-group
     # sketches (the synthetic corpus gives every event_type the same
