@@ -567,22 +567,24 @@ def _star_round(edges: DataFrame) -> DataFrame:
     Both halves are a shuffle-agg + a shuffle-join + a distinct; the
     alternation converges in O(log^2 n) rounds for ANY diameter (~10
     rounds for a diameter-1000 path, measured in tests)."""
+    # Each half computes a per-src neighborhood min and re-attaches it
+    # to every row of the group — a WINDOW min over partitionBy(src)
+    # (one exchange), not a groupBy + re-join (two).  r6: this halves
+    # the exchanges per round; the per-round edge SET (and therefore
+    # the fixpoint signature and round count) is unchanged — large-star
+    # emits the identical multiset, and small-star's per-edge (src, m)
+    # duplicates collapse in the round's trailing distinct exactly as
+    # the old per-src union rows did.
+    wsrc = Window.partitionBy("src")
     # ---- large-star
     nbrs = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    mins = nbrs.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
-    )
-    # no intermediate distinct (r6): small-star's min-aggregations are
-    # duplicate-insensitive and the round's trailing distinct dedupes
-    # the output, so the per-round edge SET (and the fixpoint
-    # signature) is identical while the round runs one shuffle stage
-    # fewer; duplicate multiplicity is bounded by vertex degree (linear
-    # in edges, never quadratic)
     large = (
-        nbrs.filter(F.col("dst") > F.col("src"))
-        .join(mins, "src")
+        # the min must see ALL neighbors (also the smaller ones), so the
+        # window sits above the union and below the dst > src filter
+        nbrs.withColumn("m", F.least(F.min("dst").over(wsrc), F.col("src")))
+        .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
     )
@@ -590,13 +592,18 @@ def _star_round(edges: DataFrame) -> DataFrame:
     oriented = large.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    smins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     small = (
-        oriented.join(smins, "src")
-        .select(F.col("dst").alias("v"), F.col("m"))
-        .union(smins.select(F.col("src").alias("v"), F.col("m")))
-        .filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        oriented.withColumn("m", F.min("dst").over(wsrc))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("dst").alias("v"), F.col("m")),
+                    F.struct(F.col("src").alias("v"), F.col("m")),
+                )
+            ).alias("e")
+        )
+        .filter(F.col("e.v") != F.col("e.m"))
+        .select(F.col("e.v").alias("src"), F.col("e.m").alias("dst"))
         .distinct()
     )
     return small
