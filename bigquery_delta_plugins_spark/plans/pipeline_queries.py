@@ -1019,8 +1019,16 @@ def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.when(m % 6 == 0, F.concat(F.lit("#sec"), s(m))).otherwise(F.lit("")),
     )
-    return docs.select(
-        "doc_id", url.alias("url"), canonicalize_url(url).alias("canon_url")
+    # Two projections, deliberately: passing the construction expression
+    # straight into canonicalize_url inlines the ~30-node url tree at
+    # each of the canonicalizer's references (guide §7.2 — duplicated
+    # subtrees), multiplying codegen size and per-row regex input
+    # recomputation.  Materializing ``url`` as a named column keeps one
+    # evaluation; CollapseProject leaves the split alone because the
+    # alias is non-cheap and multiply-referenced.
+    built = docs.select("doc_id", url.alias("url"))
+    return built.select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canon_url")
     )
 
 
