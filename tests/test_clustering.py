@@ -139,3 +139,38 @@ def test_near_dup_clusters_transitive(spark):
     assert {r["doc_id"] for r in rows} >= {1, 2, 3}
     assert 4 not in {r["doc_id"] for r in rows}
     assert got >= {(1, 1, 3), (2, 1, 3), (3, 1, 3)}
+
+
+def test_star_fused_check_matches_per_round_check(spark):
+    """r6 fused convergence: on small graphs the contraction loop runs
+    TWO rounds per signature check.  This pins the soundness argument
+    (equal fused signatures imply the per-round fixpoint) as data: the
+    fused and per-round paths produce the IDENTICAL labeling on a deep
+    chain plus a detached component, the fused path never runs more
+    than two extra (no-op) rounds, and both match union-find."""
+    from pyspark.sql import functions as F
+
+    from bigquery_delta_plugins_spark.operators import dedup as DD
+
+    edges_raw = [(i, i + 1) for i in range(80)] + [(200, 201), (201, 202)]
+    df = spark.createDataFrame(edges_raw, "id_a long, id_b long")
+    pairs = df.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    edges.count()
+    vertices = edges.select(F.col("src").alias("id")).distinct()
+    out = {}
+    try:
+        for fuse in (False, True):
+            stats = {"label_rounds": 0, "star_rounds": 0}
+            res = DD._cc_rounds(edges, vertices, 1, 40, stats, fuse=fuse)
+            out[fuse] = (
+                {(r["id"], r["component"]) for r in res.collect()},
+                stats["star_rounds"],
+            )
+    finally:
+        edges.unpersist()
+    assert out[True][0] == out[False][0] == _union_find(edges_raw)
+    assert out[True][1] > 0  # contraction phase actually ran
+    assert out[False][1] <= out[True][1] <= out[False][1] + 2
