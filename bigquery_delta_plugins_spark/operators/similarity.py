@@ -154,6 +154,34 @@ def vec_norm(v: Column) -> Column:
     return _cached_udf("norm", build)(v)
 
 
+def vec_pair_cosine(a: Column, b: Column) -> Column:
+    """Fused per-pair cosine: ``fold(a,b) / sqrt(fold(a,a)) /
+    sqrt(fold(b,b))`` in ONE Arrow pass — the same ``_fold_dot`` folds
+    and the same division order as ``vec_dot / vec_norm / vec_norm``,
+    and numpy double division is IEEE like the JVM's, so the value is
+    bit-identical while the plan drops two ArrowEvalPython stages (the
+    pre-join norm projections).  Norms are recomputed per PAIR instead
+    of per row, so this kernel is for joins whose pair count is a small
+    multiple of the row count (the broadcast-query top-k); the banded
+    operators keep their per-row fused prep kernels."""
+
+    def build():
+        @pandas_udf("double")
+        def _pair_cos_pd(x: pd.Series, y: pd.Series) -> pd.Series:
+            A = _stack_f8(x)
+            B = _stack_f8(y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return pd.Series(
+                    _fold_dot(A, B)
+                    / np.sqrt(_fold_dot(A, A))
+                    / np.sqrt(_fold_dot(B, B))
+                )
+
+        return _pair_cos_pd
+
+    return _cached_udf("pair_cosine", build)(a, b)
+
+
 def vec_bucket_array(vec: Column, planes: int, dim: int, n_tables: int) -> Column:
     """Vectorized twin of :func:`_bucket_array`: per-table sign-LSH
     bucket ids, one Arrow pass instead of tables x planes interpreted
@@ -518,21 +546,26 @@ def ann_bruteforce_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self excluded).  The
     query side is broadcast — the corpus is scanned exactly once and
-    never shuffled until the per-query window."""
+    never shuffled until the per-query window.
+
+    The whole cosine is one fused per-pair kernel
+    (:func:`vec_pair_cosine`, r6): the old shape paid THREE
+    ArrowEvalPython stages (a norm projection on each join side plus
+    the per-pair dot) for the identical value; recomputing the norms
+    per pair is vectorized noise because the query side is small by
+    contract (pairs = |corpus| x |queries|)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        vec_norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        vec_norm(F.col(vec_col)).alias("cn"),
     )
     joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        (vec_dot(F.col("qv"), F.col("cv")) / F.col("qn") / F.col("cn")).alias("cosine"),
+        vec_pair_cosine(F.col("qv"), F.col("cv")).alias("cosine"),
     )
     return _topk(joined, k)
 

@@ -103,3 +103,41 @@ def test_fused_norm_centroid_dots_matches_separate_kernels(spark):
         assert all(
             _bits(a) == _bits(b) for a, b in zip(r["d1"], r["nd"]["dots"])
         )
+
+
+def test_vec_pair_cosine_bitwise_matches_composition(spark):
+    """The fused per-pair cosine kernel (r6, ann_bruteforce_topk) must
+    bit-equal both the JVM reference ``dot/norm/norm`` chain and the
+    unfused ``vec_dot / vec_norm / vec_norm`` composition it replaced —
+    same folds, same division order, IEEE division on both sides."""
+    df = _vectors(spark).withColumn("w", F.reverse("v"))
+    got = df.select(
+        "id",
+        SIM.cosine(F.col("v"), F.col("w")).alias("jc"),
+        (
+            SIM.vec_dot(F.col("v"), F.col("w"))
+            / SIM.vec_norm(F.col("v"))
+            / SIM.vec_norm(F.col("w"))
+        ).alias("uc"),
+        SIM.vec_pair_cosine(F.col("v"), F.col("w")).alias("fc"),
+    ).collect()
+    for r in got:
+        assert _bits(r["jc"]) == _bits(r["uc"]) == _bits(r["fc"]), r["id"]
+
+
+def test_vec_pair_cosine_zero_vector_yields_null(spark):
+    """Degenerate input: a zero vector's cosine is 0/0.  The SQL-side
+    division of the old composition RAISES under Spark 4's default ANSI
+    mode, so the fused kernel cannot change any previously-defined
+    result — it extends the domain: the in-kernel IEEE answer is NaN,
+    which the pandas->Arrow boundary surfaces as NULL (pandas uses NaN
+    as its float missing-value marker — the same conversion the old
+    ``vec_dot`` kernel already had for NaN dots)."""
+    zero = spark.createDataFrame(
+        [(0, [0.0] * DIM, [1.0] * DIM)],
+        "id long, v array<float>, w array<float>",
+    )
+    [r] = zero.select(
+        SIM.vec_pair_cosine(F.col("v"), F.col("w")).alias("fc")
+    ).collect()
+    assert r["fc"] is None
