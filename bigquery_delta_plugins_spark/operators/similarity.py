@@ -837,7 +837,6 @@ def ann_lsh_topk(
     q_vec = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        vec_norm(F.col(vec_col)).alias("qn"),
     )
     joined = (
         corpus.select(
@@ -847,11 +846,12 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                vec_dot(F.col("qv"), F.col("cv"))
-                / F.col("qn")
-                / vec_norm(F.col("cv"))
-            ).alias("cosine"),
+            # one fused kernel for dot/qn/cn (r6): the unfused form was
+            # three ArrowEvalPython stages (per-pair dot, corpus-side
+            # norm, query-norm precompute) shipping cv twice; the fold
+            # and division order are identical, so the double is
+            # bit-identical (see vec_pair_cosine)
+            vec_pair_cosine(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
     return _topk(joined, k)
